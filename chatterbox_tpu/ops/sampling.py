@@ -1,0 +1,107 @@
+"""On-device batched token sampler.
+
+TPU-native replacement for vLLM's CUDA sampling kernels (reference relies on
+vLLM SamplingParams: tts.py:408-418 — temperature, top_p, min_p,
+repetition_penalty, stop_token_ids).  Everything runs vectorized on device
+inside the jitted decode chunk; no host round-trips per step.
+
+Repetition penalty note: vLLM penalizes both prompt and output token ids; in
+the reference's offset scheme the prompt ids are *text* tokens that alias
+speech ids, so the penalty there leaks across vocabularies.  Here the penalty
+is applied over generated speech tokens plus (optionally) the conditioning
+prompt speech tokens — same intent, correct vocabulary.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SamplingParams(NamedTuple):
+    """Per-slot sampling parameters, all [B] float32 arrays."""
+    temperature: jnp.ndarray
+    top_p: jnp.ndarray
+    min_p: jnp.ndarray
+    repetition_penalty: jnp.ndarray
+
+    @classmethod
+    def full(cls, batch: int, temperature=0.8, top_p=1.0, min_p=0.05,
+             repetition_penalty=2.0):
+        f = lambda v: jnp.full((batch,), v, jnp.float32)
+        return cls(f(temperature), f(top_p), f(min_p), f(repetition_penalty))
+
+
+class SamplerState(NamedTuple):
+    """Per-slot sampler state carried across decode steps."""
+    seen: jnp.ndarray       # [B, V] bool — token ids already generated
+    rng: jnp.ndarray        # jax PRNG key
+
+    @classmethod
+    def init(cls, batch: int, vocab: int, rng):
+        return cls(seen=jnp.zeros((batch, vocab), jnp.bool_), rng=rng)
+
+
+def apply_repetition_penalty(logits, seen, penalty):
+    """HF/vLLM-style: seen tokens with positive logits are divided by the
+    penalty, negative ones multiplied."""
+    p = penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / p, logits * p)
+    return jnp.where(seen, penalized, logits)
+
+
+def top_p_min_p_mask(logits, top_p, min_p):
+    """Return -inf-masked logits implementing nucleus + min-p filtering.
+
+    Keeps the smallest prefix of the descending-probability ordering whose
+    cumulative mass reaches top_p, then drops tokens whose probability is
+    below min_p * max_prob (vLLM semantics).
+    """
+    probs = jax.nn.softmax(logits, axis=-1)
+    sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    # Probability threshold: smallest sorted prob still inside the nucleus.
+    # A token is kept iff cum - prob < top_p (the token that crosses the
+    # boundary is kept).
+    keep_sorted = (cum - sorted_probs) < top_p[:, None]
+    # threshold = min prob among kept tokens
+    thresh = jnp.min(jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1)
+    keep = probs >= thresh[:, None]
+
+    max_prob = jnp.max(probs, axis=-1, keepdims=True)
+    keep &= probs >= (min_p[:, None] * max_prob)
+    return jnp.where(keep, logits, -jnp.inf)
+
+
+def sample_step(logits, params: SamplingParams, state: SamplerState):
+    """Sample one token per slot; returns (tokens [B] int32, new_state).
+
+    temperature == 0 selects greedy argmax (reference deterministic mode,
+    tts.py:358-362).
+    """
+    logits = logits.astype(jnp.float32)
+    logits = apply_repetition_penalty(logits, state.seen, params.repetition_penalty)
+
+    greedy = params.temperature <= 0.0
+    safe_temp = jnp.where(greedy, 1.0, params.temperature)
+    scaled = logits / safe_temp[:, None]
+    filtered = top_p_min_p_mask(scaled, params.top_p, params.min_p)
+
+    rng, sub = jax.random.split(state.rng)
+    gumbel = jax.random.gumbel(sub, filtered.shape, jnp.float32)
+    sampled = jnp.argmax(filtered + gumbel, axis=-1)
+    argmax = jnp.argmax(logits, axis=-1)
+    tokens = jnp.where(greedy, argmax, sampled).astype(jnp.int32)
+
+    seen = state.seen.at[jnp.arange(tokens.shape[0]), tokens].set(True)
+    return tokens, SamplerState(seen=seen, rng=rng)
+
+
+def mark_seen(state: SamplerState, token_ids: jnp.ndarray, valid: jnp.ndarray) -> SamplerState:
+    """Pre-mark tokens (e.g. conditioning prompt tokens) as seen for the
+    repetition penalty.  token_ids: [B, T]; valid: [B, T] bool."""
+    B, V = state.seen.shape
+    one_hot = jax.nn.one_hot(token_ids, V, dtype=jnp.bool_) & valid[..., None]
+    seen = state.seen | jnp.any(one_hot, axis=1)
+    return state._replace(seen=seen)

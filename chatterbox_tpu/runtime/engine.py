@@ -1,0 +1,344 @@
+"""Continuous-batching decode engine for the T3 speech-token LM.
+
+TPU-native replacement for the vLLM V1 engine the reference delegates to
+(SURVEY §2.10): slot-based KV cache, bucketed chunk prefill, jitted multi-step
+decode with on-device sampling, per-slot admission/eviction.
+
+Design (XLA-friendly, static shapes throughout):
+  * The KV cache is a dense slot cache over 2B lanes (B requests x
+    {cond, uncond} CFG lanes) of length max_model_len.  Admission writes a
+    freshly prefilled K/V block into a free slot; eviction just frees the
+    index — no allocator churn, no page tables.  (A paged layout only pays
+    off when request lengths are highly skewed; TTS requests are capped at
+    ~1.2k tokens, reference tts.py:393.)
+  * Prefill compiles per (m_bucket, len_bucket) and computes K/V + first-token
+    logits *outside* the big cache, which a tiny jitted scatter then inserts —
+    so admission never recompiles the decode graph.
+  * Decode runs ``decode_chunk`` = lax.scan of N single-token steps over all
+    slots; the host syncs only the [B] done flags between chunks, admitting
+    new work into freed slots (continuous batching at chunk granularity).
+  * Sampling (top-p / min-p / repetition penalty / stop) is fully on device —
+    ops/sampling.py; finished slots are frozen with masked updates.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import T3ModelConfig, EngineConfig
+from ..models.t3.backbone import KVCache
+from ..models.t3.model import T3Model
+from ..ops.sampling import SamplerState, SamplingParams, sample_step
+
+
+@dataclasses.dataclass
+class Request:
+    """One TTS generation request (text already tokenized)."""
+    text_ids: np.ndarray                 # [T] int32
+    cond_emb: np.ndarray                 # [34, H] conditioning block
+    max_new_tokens: int
+    temperature: float = 0.8
+    top_p: float = 1.0
+    min_p: float = 0.05
+    repetition_penalty: float = 2.0
+    cfg_scale: float = 0.5
+    uid: Any = None
+
+
+@dataclasses.dataclass
+class Result:
+    uid: Any
+    tokens: np.ndarray                   # generated speech tokens incl. EOS if emitted
+    finished_by_stop: bool
+
+
+class SlotState(NamedTuple):
+    """Per-slot decode state, all device arrays of leading dim B."""
+    tokens: jnp.ndarray        # [B] last sampled token
+    n_generated: jnp.ndarray   # [B] number of tokens sampled so far
+    global_pos: jnp.ndarray    # [B] cache position for the next write
+    done: jnp.ndarray          # [B] bool
+    active: jnp.ndarray        # [B] bool — slot holds a live request
+    max_new: jnp.ndarray       # [B] per-slot token cap
+    out_buf: jnp.ndarray       # [B, max_out] generated tokens
+    cfg_scale: jnp.ndarray     # [B]
+    params: SamplingParams
+    sampler: SamplerState
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class T3Engine:
+    """Slot-based continuous batching over the T3 model."""
+
+    def __init__(self, model: T3Model, params, cfg: T3ModelConfig,
+                 eng: EngineConfig, rng: Optional[jax.Array] = None):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.eng = eng
+        self.B = eng.max_batch_size
+        self.S = eng.max_model_len
+        self.max_out = eng.tokens_max + 8
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        kv_dtype = jnp.bfloat16 if eng.kv_dtype == "bfloat16" else jnp.bfloat16
+        self._kv_dtype = kv_dtype
+
+        # Invalid-id mask: only real codes and EOS are sampleable (the
+        # reference samples anything then drops invalid ids, tts.py:463-465;
+        # masking at the source is strictly better and keeps streams clean).
+        V = cfg.speech_vocab_size
+        allow = np.zeros((V,), np.bool_)
+        allow[: cfg.start_speech_token] = True        # codes 0..6560
+        allow[cfg.stop_speech_token] = True           # EOS
+        self._allow_mask = jnp.asarray(allow)
+
+        self._jit_prefill = {}
+        self._decode_chunk = jax.jit(
+            self._decode_chunk_impl, static_argnames=("n_steps",),
+            donate_argnames=("cache", "st"))
+        self._insert = jax.jit(self._insert_impl, donate_argnames=("cache", "st"))
+
+        self.reset()
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        cfgm, B, S = self.cfg, self.B, self.S
+        self.cache = KVCache.zeros(cfgm, 2 * B, S, self._kv_dtype)
+        self.rng, sub = jax.random.split(self.rng)
+        self.state = SlotState(
+            tokens=jnp.zeros((B,), jnp.int32),
+            n_generated=jnp.zeros((B,), jnp.int32),
+            global_pos=jnp.zeros((B,), jnp.int32),
+            done=jnp.ones((B,), bool),
+            active=jnp.zeros((B,), bool),
+            max_new=jnp.zeros((B,), jnp.int32),
+            out_buf=jnp.zeros((B, self.max_out), jnp.int32),
+            cfg_scale=jnp.zeros((B,), jnp.float32),
+            params=SamplingParams.full(B),
+            sampler=SamplerState.init(B, cfgm.speech_vocab_size, sub),
+        )
+        self.free_slots = list(range(B))
+        self.slot_uid = [None] * B
+
+    # ------------------------------------------------------------------
+    # Prefill path
+    # ------------------------------------------------------------------
+    def _prefill_fn(self, m: int, text_bucket: int):
+        key = (m, text_bucket)
+        if key not in self._jit_prefill:
+            P = self.cfg.cond_len + text_bucket + 1
+
+            def run(params, cond_emb, text_ids, text_len, cfg_scale):
+                def apply(model):
+                    embeds, prompt_len = model.build_prompt_embeds(
+                        cond_emb, text_ids, text_len)
+                    cache = KVCache.zeros(self.cfg, 2 * m, P, self._kv_dtype)
+                    logits, new_cache = model.prefill(
+                        embeds, prompt_len, cache, cfg_scale)
+                    return logits, new_cache, prompt_len
+                return nn_apply(self.model, params, apply)
+
+            self._jit_prefill[key] = jax.jit(run)
+        return self._jit_prefill[key]
+
+    def _insert_impl(self, cache: KVCache, st: SlotState, slot_ids,
+                     pre_k, pre_v, prompt_len, first_tokens, first_rng,
+                     max_new, cfg_scale, temps, top_ps, min_ps, rep_pens):
+        """Scatter prefilled K/V + slot metadata into the live cache/state.
+
+        slot_ids: [m] int32; pre_k/pre_v: [L, 2m, P, H, D]; the 2m lanes are
+        (slot, lane)-major matching lane index slot*2+lane in the big cache.
+        """
+        m = slot_ids.shape[0]
+        P = pre_k.shape[2]
+        lane_ids = jnp.stack([slot_ids * 2, slot_ids * 2 + 1], axis=1).reshape(-1)
+        k = cache.k.at[:, lane_ids, :P].set(pre_k.astype(cache.k.dtype))
+        v = cache.v.at[:, lane_ids, :P].set(pre_v.astype(cache.v.dtype))
+
+        sid = slot_ids
+        st = st._replace(
+            tokens=st.tokens.at[sid].set(first_tokens),
+            n_generated=st.n_generated.at[sid].set(1),
+            global_pos=st.global_pos.at[sid].set(prompt_len),
+            done=st.done.at[sid].set(False),
+            active=st.active.at[sid].set(True),
+            max_new=st.max_new.at[sid].set(max_new),
+            out_buf=st.out_buf.at[sid].set(0).at[sid, 0].set(first_tokens),
+            cfg_scale=st.cfg_scale.at[sid].set(cfg_scale),
+            params=SamplingParams(
+                temperature=st.params.temperature.at[sid].set(temps),
+                top_p=st.params.top_p.at[sid].set(top_ps),
+                min_p=st.params.min_p.at[sid].set(min_ps),
+                repetition_penalty=st.params.repetition_penalty.at[sid].set(rep_pens),
+            ),
+            sampler=SamplerState(
+                seen=st.sampler.seen.at[sid].set(False)
+                    .at[sid, first_tokens].set(True),
+                rng=first_rng,
+            ),
+        )
+        return KVCache(k=k, v=v), st
+
+    # ------------------------------------------------------------------
+    # Decode path
+    # ------------------------------------------------------------------
+    def _decode_chunk_impl(self, params, cache: KVCache, st: SlotState, *, n_steps: int):
+        def step(carry, _):
+            cache, st = carry
+
+            def apply(model):
+                return model.decode_step(
+                    st.tokens, st.n_generated, st.global_pos, cache, st.cfg_scale)
+            logits, new_cache = nn_apply(self.model, params, apply)
+            logits = jnp.where(self._allow_mask[None, :], logits, -jnp.inf)
+
+            tokens, sampler = sample_step(logits, st.params, st.sampler)
+            live = st.active & ~st.done
+            tokens = jnp.where(live, tokens, st.tokens)
+
+            hit_eos = tokens == self.cfg.stop_speech_token
+            n_next = jnp.where(live, st.n_generated + 1, st.n_generated)
+            hit_cap = n_next >= st.max_new
+            done = st.done | (live & (hit_eos | hit_cap))
+
+            out_buf = st.out_buf.at[jnp.arange(self.B),
+                                    jnp.clip(st.n_generated, 0, self.max_out - 1)].set(
+                jnp.where(live, tokens, st.out_buf[jnp.arange(self.B),
+                                                   jnp.clip(st.n_generated, 0, self.max_out - 1)]))
+
+            # Frozen slots keep rewriting the same cache position (harmless).
+            new_st = st._replace(
+                tokens=tokens,
+                n_generated=n_next,
+                global_pos=jnp.where(live, jnp.minimum(st.global_pos + 1, self.S - 1),
+                                     st.global_pos),
+                done=done,
+                out_buf=out_buf,
+                sampler=SamplerState(
+                    seen=jnp.where(live[:, None], sampler.seen, st.sampler.seen),
+                    rng=sampler.rng),
+            )
+            return (new_cache, new_st), None
+
+        (cache, st), _ = jax.lax.scan(step, (cache, st), None, length=n_steps)
+        return cache, st
+
+    # ------------------------------------------------------------------
+    # Orchestration
+    # ------------------------------------------------------------------
+    def generate(self, requests: List[Request], progress: bool = False) -> List[Result]:
+        """Run all requests to completion with continuous slot refill."""
+        pending = sorted(range(len(requests)),
+                         key=lambda i: len(requests[i].text_ids))
+        results: dict = {}
+        eng = self.eng
+
+        while pending or any(self.slot_uid[i] is not None for i in range(self.B)):
+            # --- admission ---
+            while pending and self.free_slots:
+                take = min(len(self.free_slots), len(pending), self.B)
+                batch_idx = [pending.pop(0) for _ in range(take)]
+                self._admit([requests[i] for i in batch_idx], batch_idx)
+
+            # --- decode ---
+            self.cache, self.state = self._decode_chunk(
+                self.params, self.cache, self.state, n_steps=eng.decode_chunk)
+
+            # --- harvest ---
+            done = np.asarray(self.state.done)
+            active = np.asarray(self.state.active)
+            finished = [i for i in range(self.B)
+                        if active[i] and done[i] and self.slot_uid[i] is not None]
+            if finished:
+                n_gen = np.asarray(self.state.n_generated)
+                out = np.asarray(self.state.out_buf)
+                for slot in finished:
+                    ridx = self.slot_uid[slot]
+                    toks = out[slot, : n_gen[slot]]
+                    by_stop = bool(len(toks) and toks[-1] == self.cfg.stop_speech_token)
+                    results[ridx] = Result(
+                        uid=requests[ridx].uid, tokens=toks,
+                        finished_by_stop=by_stop)
+                    self.slot_uid[slot] = None
+                    self.free_slots.append(slot)
+                    self.state = self.state._replace(
+                        active=self.state.active.at[slot].set(False))
+                if progress:
+                    print(f"[engine] {len(results)}/{len(requests)} done")
+
+        return [results[i] for i in range(len(requests))]
+
+    def _admit(self, reqs: List[Request], ridxs: List[int]):
+        eng = self.eng
+        m = len(reqs)
+        m_bucket = 1 << (m - 1).bit_length()
+        text_bucket = _bucket(max(len(r.text_ids) for r in reqs),
+                              eng.prefill_buckets)
+
+        text = np.zeros((m_bucket, text_bucket), np.int32)
+        tlen = np.zeros((m_bucket,), np.int32)
+        cond = np.zeros((m_bucket, self.cfg.cond_len, self.cfg.hidden_size), np.float32)
+        cfgs = np.full((m_bucket,), eng.cfg_scale, np.float32)
+        for j, r in enumerate(reqs):
+            L = min(len(r.text_ids), text_bucket)
+            text[j, :L] = r.text_ids[:L]
+            tlen[j] = L
+            cond[j] = r.cond_emb
+            cfgs[j] = r.cfg_scale
+
+        fn = self._prefill_fn(m_bucket, text_bucket)
+        logits, pre_cache, prompt_len = fn(
+            self.params, jnp.asarray(cond), jnp.asarray(text), jnp.asarray(tlen),
+            jnp.asarray(cfgs))
+        logits = jnp.where(self._allow_mask[None, :], logits, -jnp.inf)
+
+        # First token sampling with the admitted requests' own params.
+        sp = SamplingParams(
+            temperature=jnp.asarray([r.temperature for r in reqs] + [1.0] * (m_bucket - m), jnp.float32),
+            top_p=jnp.asarray([r.top_p for r in reqs] + [1.0] * (m_bucket - m), jnp.float32),
+            min_p=jnp.asarray([r.min_p for r in reqs] + [0.0] * (m_bucket - m), jnp.float32),
+            repetition_penalty=jnp.asarray([r.repetition_penalty for r in reqs] + [1.0] * (m_bucket - m), jnp.float32),
+        )
+        self.rng, sub = jax.random.split(self.rng)
+        first_tokens, _ = sample_step(
+            logits, sp, SamplerState.init(m_bucket, self.cfg.speech_vocab_size, sub))
+
+        slots = [self.free_slots.pop(0) for _ in range(m)]
+        for s, ridx in zip(slots, ridxs):
+            self.slot_uid[s] = ridx
+
+        self.rng, chunk_rng = jax.random.split(self.rng)
+        sel = list(range(m))
+        self.cache, self.state = self._insert(
+            self.cache, self.state,
+            jnp.asarray(slots, jnp.int32),
+            pre_cache.k[:, [j for s in sel for j in (2 * s, 2 * s + 1)]],
+            pre_cache.v[:, [j for s in sel for j in (2 * s, 2 * s + 1)]],
+            prompt_len[sel], first_tokens[sel], chunk_rng,
+            jnp.asarray([min(r.max_new_tokens, self.max_out,
+                             self.S - len(r.text_ids) - self.cfg.cond_len - 1)
+                         for r in reqs], jnp.int32),
+            jnp.asarray([r.cfg_scale for r in reqs], jnp.float32),
+            sp.temperature[sel], sp.top_p[sel], sp.min_p[sel],
+            sp.repetition_penalty[sel])
+
+
+def nn_apply(model, params, fn):
+    """Apply a bound-module function through flax's functional API."""
+    return model.apply(params, fn, method=_call_with_module)
+
+
+def _call_with_module(module, fn):
+    return fn(module)
