@@ -117,13 +117,13 @@ def stft_mag(y: np.ndarray, n_fft: int, hop: int, win: int,
     return np.abs(spec).T.astype(np.float32)  # [n_bins, n_frames]
 
 
-def s3gen_mel(y: np.ndarray) -> np.ndarray:
-    """24 kHz 80-mel log spectrogram at 50 fps (s3gen/utils/mel.py:33-81).
-    y: [T] float in [-1, 1].  Returns [F, 80] (frames-major)."""
+def s3gen_mel(y: np.ndarray, n_mels: int = 80) -> np.ndarray:
+    """24 kHz mel log spectrogram at 50 fps (s3gen/utils/mel.py:33-81).
+    y: [T] float in [-1, 1].  Returns [F, n_mels] (frames-major)."""
     n_fft, hop, win = 1920, 480, 1920
     mag = stft_mag(y, n_fft, hop, win, pad_lr=(n_fft - hop) // 2)
     mag = np.sqrt(mag ** 2 + 1e-9)
-    mel = mel_filterbank(24_000, n_fft, 80, 0, 8000) @ mag
+    mel = mel_filterbank(24_000, n_fft, n_mels, 0, 8000) @ mag
     return np.log(np.maximum(mel, 1e-5)).T.astype(np.float32)
 
 

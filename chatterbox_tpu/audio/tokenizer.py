@@ -1,0 +1,237 @@
+"""Text tokenizers: English BPE + multilingual grapheme tokenizer.
+
+Parity targets: reference t3/entokenizer.py (EnTokenizer :46-117) and
+t3/mtl_tokenizer.py (MTLTokenizer :270-420 + per-language normalizers).
+Both wrap a HF ``tokenizers`` BPE json; spaces map to the ``[SPACE]`` token.
+
+Optional language deps (pykakasi for ja, dicta-onnx for he, pkuseg for zh
+segmentation, russian_text_stresser for ru) degrade gracefully to identity,
+exactly like the reference's try/except fallbacks (mtl_tokenizer.py:44-220).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from pathlib import Path
+from typing import List, Optional
+from unicodedata import normalize
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+SOT, EOT = "[START]", "[STOP]"
+SPACE = "[SPACE]"
+
+
+def _resolve(candidates: List[str], what: str) -> str:
+    for c in candidates:
+        if c and os.path.isfile(c):
+            return c
+    raise FileNotFoundError(
+        f"{what}: no tokenizer json found; looked at {candidates}")
+
+
+class EnTokenizer:
+    """English BPE tokenizer (reference entokenizer.py).
+
+    Resolution order mirrors the reference (entokenizer.py:46-83): explicit
+    path -> ./t3-model/tokenizer.json -> $CHATTERBOX_TOKENIZER_JSON.
+    """
+
+    def __init__(self, vocab_file: str):
+        from tokenizers import Tokenizer
+        self.tokenizer = Tokenizer.from_file(vocab_file)
+        voc = self.tokenizer.get_vocab()
+        assert SOT in voc and EOT in voc
+
+    @classmethod
+    def from_pretrained(cls, path: Optional[str] = None) -> "EnTokenizer":
+        cands = []
+        if path:
+            p = Path(path)
+            cands += [str(p), str(p / "tokenizer.json")]
+        cands += [os.path.join(os.getcwd(), "t3-model", "tokenizer.json"),
+                  os.environ.get("CHATTERBOX_TOKENIZER_JSON", "")]
+        return cls(_resolve(cands, "EnTokenizer"))
+
+    def text_to_tokens(self, text: str) -> np.ndarray:
+        text = text.replace(" ", SPACE)
+        ids = self.tokenizer.encode(text).ids
+        return np.asarray(ids, np.int32)
+
+    def decode(self, ids) -> str:
+        toks = [self.tokenizer.id_to_token(int(i)) for i in ids]
+        text = "".join(t for t in toks if t is not None)
+        return (text.replace(SPACE, " ")
+                    .replace(EOT, "").replace("[UNK]", ""))
+
+    @property
+    def vocab_size(self) -> int:
+        return self.tokenizer.get_vocab_size()
+
+
+# ---------------------------------------------------------------------------
+# Language-specific normalizers (mtl_tokenizer.py:44-220; optional deps
+# degrade to identity)
+# ---------------------------------------------------------------------------
+_kakasi = None
+_dicta = None
+_ru_stresser = None
+
+
+def _is_kanji(c: str) -> bool:
+    return "一" <= c <= "鿿"
+
+
+def hiragana_normalize(text: str) -> str:
+    global _kakasi
+    try:
+        if _kakasi is None:
+            import pykakasi
+            _kakasi = pykakasi.kakasi()
+        out = []
+        for r in _kakasi.convert(text):
+            inp, hira = r["orig"], r["hira"]
+            if any(_is_kanji(c) for c in inp):
+                if hira and hira[0] in ("は", "へ"):
+                    hira = " " + hira
+                out.append(hira)
+            else:
+                out.append(inp)
+        return "".join(out)
+    except Exception:
+        return text
+
+
+def korean_normalize(text: str) -> str:
+    """Decompose Hangul syllables into Jamo (mtl_tokenizer.py:105-123)."""
+    def decomp(ch):
+        if not ("가" <= ch <= "힯"):
+            return ch
+        base = ord(ch) - 0xAC00
+        initial = chr(0x1100 + base // (21 * 28))
+        medial = chr(0x1161 + (base % (21 * 28)) // 28)
+        final = chr(0x11A7 + base % 28) if base % 28 > 0 else ""
+        return initial + medial + final
+    return "".join(decomp(c) for c in text).strip()
+
+
+def add_hebrew_diacritics(text: str) -> str:
+    global _dicta
+    try:
+        if _dicta is None:
+            from dicta_onnx import Dicta
+            _dicta = Dicta()
+        return _dicta.add_diacritics(text)
+    except Exception:
+        return text
+
+
+def add_russian_stress(text: str) -> str:
+    global _ru_stresser
+    try:
+        if _ru_stresser is None:
+            from russian_text_stresser.text_stresser import RussianTextStresser
+            _ru_stresser = RussianTextStresser()
+        return _ru_stresser.stress_text(text)
+    except Exception:
+        return text
+
+
+class ChineseCangjieConverter:
+    """zh text -> Cangjie codes (mtl_tokenizer.py:126-201).  Requires the
+    Cangjie5_TC.json asset; identity if unavailable."""
+
+    def __init__(self, asset_path: Optional[str] = None):
+        self.table = {}
+        self.seg = None
+        cands = [asset_path,
+                 os.environ.get("CHATTERBOX_CANGJIE_JSON", ""),
+                 os.path.join(os.getcwd(), "Cangjie5_TC.json")]
+        for c in cands:
+            if c and os.path.isfile(c):
+                with open(c, encoding="utf-8") as f:
+                    self.table = json.load(f)
+                break
+        try:
+            import spacy_pkuseg
+            self.seg = spacy_pkuseg.pkuseg()
+        except Exception:
+            self.seg = None
+
+    def __call__(self, text: str) -> str:
+        if not self.table:
+            return text
+        words = self.seg.cut(text) if self.seg else list(text)
+        out = []
+        for w in words:
+            for ch in w:
+                code = self.table.get(ch)
+                out.append(code if code else ch)
+            out.append(" ")
+        return "".join(out).strip()
+
+
+class MTLTokenizer(EnTokenizer):
+    """Multilingual grapheme tokenizer with per-language preprocessing."""
+
+    def __init__(self, vocab_file: str, cangjie_path: Optional[str] = None):
+        super().__init__(vocab_file)
+        self.cangjie = ChineseCangjieConverter(cangjie_path)
+
+    @classmethod
+    def from_pretrained(cls, path: Optional[str] = None, **kw) -> "MTLTokenizer":
+        cands = []
+        if path:
+            p = Path(path)
+            cands += [str(p),
+                      str(p / "grapheme_mtl_merged_expanded_v1.json"),
+                      str(p / "mtl_tokenizer.json")]
+        cwd = os.path.join(os.getcwd(), "t3-multilingual-model")
+        cands += [os.path.join(cwd, "grapheme_mtl_merged_expanded_v1.json"),
+                  os.path.join(cwd, "mtl_tokenizer.json"),
+                  os.environ.get("CHATTERBOX_MTL_TOKENIZER_JSON", "")]
+        return cls(_resolve(cands, "MTLTokenizer"), **kw)
+
+    def preprocess(self, text: str) -> str:
+        """Lowercase + NFKD, restoring canonical [START]/[STOP]
+        (mtl_tokenizer.py:307-324)."""
+        t = normalize("NFKD", text.lower())
+        t = re.sub(r"\[start\]", SOT, t)
+        t = re.sub(r"\[stop\]", EOT, t)
+        return t
+
+    def apply_language_processing(self, text: str, language_id: Optional[str]):
+        if language_id == "zh":
+            text = self.cangjie(text)
+        elif language_id == "ja":
+            text = hiragana_normalize(text)
+        elif language_id == "he":
+            text = add_hebrew_diacritics(text)
+        elif language_id == "ko":
+            text = korean_normalize(text)
+        elif language_id == "ru":
+            text = add_russian_stress(text)
+        if language_id:
+            tag = f"[{language_id.lower()}]"
+            if not text.startswith(tag):
+                text = tag + text
+        return text
+
+    def text_to_tokens(self, text: str,
+                       language_id: Optional[str] = None) -> np.ndarray:
+        # detect a leading <lang> tag (reference uses angle brackets at the
+        # orchestrator layer, tts.py:333, square ones internally)
+        m = re.match(r"^<([a-z]{2})>", text)
+        if m and m.group(1) in __import__(
+                "chatterbox_tpu.audio.text", fromlist=["SUPPORTED_LANGUAGES"]
+                ).SUPPORTED_LANGUAGES:
+            language_id = language_id or m.group(1)
+            text = text[m.end():]
+        text = self.preprocess(text)
+        text = self.apply_language_processing(text, language_id)
+        text = text.replace(" ", SPACE)
+        return np.asarray(self.tokenizer.encode(text).ids, np.int32)

@@ -82,6 +82,7 @@ class T3ModelConfig:
             head_dim=16, intermediate_size=128, text_vocab_size=32,
             speech_vocab_size=70, start_speech_token=64, stop_speech_token=65,
             speaker_embed_size=16, perceiver_n_queries=4, perceiver_n_heads=2,
+            cond_len=6,  # 1 speaker + 4 queries + 1 emotion
         )
 
 

@@ -131,29 +131,35 @@ class UpsampleConformerEncoder(nn.Module):
         c = self.cfg
         d = c.enc_dim
 
-        # embed stage
+        # embed stage.  Padded rows are re-zeroed after every bias/LayerNorm
+        # stage: the reference never pads (batch 1), but here a nonzero pad
+        # row would leak into the lookahead/upsample convs and break
+        # batch-size invariance.
+        T = x.shape[1]
+        mask = make_length_mask(lengths, T)
+        mcol = mask[..., None].astype(x.dtype)
         x = nn.Dense(d, name="embed_linear")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="embed_norm")(x)
-        x = x * jnp.sqrt(jnp.float32(d)).astype(x.dtype)
-        T = x.shape[1]
+        x = x * jnp.sqrt(jnp.float32(d)).astype(x.dtype) * mcol
         pos = rel_positional_encoding(T, d, x.dtype)
-        mask = make_length_mask(lengths, T)
 
         x = PreLookaheadLayer(d, c.pre_lookahead_len, name="pre_lookahead_layer")(x)
+        x = x * mcol
         for i in range(c.enc_blocks):
-            x = ConformerLayer(c, name=f"encoders_{i}")(x, pos, mask)
+            x = ConformerLayer(c, name=f"encoders_{i}")(x, pos, mask) * mcol
 
         # upsample stage
         x = UpsampleLayer(d, name="up_layer")(x)
         lengths = lengths * 2
         T2 = x.shape[1]
+        mask2 = make_length_mask(lengths, T2)
+        mcol2 = mask2[..., None].astype(x.dtype)
         x = nn.Dense(d, name="up_embed_linear")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="up_embed_norm")(x)
-        x = x * jnp.sqrt(jnp.float32(d)).astype(x.dtype)
+        x = x * jnp.sqrt(jnp.float32(d)).astype(x.dtype) * mcol2
         pos2 = rel_positional_encoding(T2, d, x.dtype)
-        mask2 = make_length_mask(lengths, T2)
         for i in range(c.enc_up_blocks):
-            x = ConformerLayer(c, name=f"up_encoders_{i}")(x, pos2, mask2)
+            x = ConformerLayer(c, name=f"up_encoders_{i}")(x, pos2, mask2) * mcol2
 
-        x = nn.LayerNorm(epsilon=1e-5, name="after_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="after_norm")(x) * mcol2
         return x, lengths

@@ -74,6 +74,13 @@ class CausalFlow(nn.Module):
         c = self.cfg
         t_span = cosine_t_span(n_timesteps).astype(z.dtype)
 
+        if self.is_initializing():
+            # flax params cannot be created inside lax control flow; one
+            # estimator evaluation materializes them during init.
+            t0 = jnp.zeros((z.shape[0],), z.dtype)
+            return z + self.estimate_cfg(z, mask, mu, t0, spks, cond,
+                                         c.inference_cfg_rate) * 0.0
+
         def body(i, x):
             t = jnp.broadcast_to(t_span[i], (x.shape[0],))
             dt = t_span[i + 1] - t_span[i]
@@ -98,7 +105,8 @@ class CausalFlow(nn.Module):
         region for request b is frames [prompt_feat_len[b] : 2*token_len[b]].
         """
         c = self.cfg
-        emb = embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True)
+        emb = embedding / jnp.maximum(
+            jnp.linalg.norm(embedding, axis=-1, keepdims=True), 1e-12)
         spks = self.spk_embed_affine_layer(emb)
 
         mu, mel_len = self.encode(tokens, token_len)

@@ -50,45 +50,65 @@ class ResBlock(nn.Module):
     dilations: Tuple[int, ...] = (1, 3, 5)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        """mask: optional [B, T, 1] validity mask applied after each conv so
+        conv biases can't leak pad-region context into valid frames."""
+        m = (lambda t: t if mask is None else t * mask)
         for i, d in enumerate(self.dilations):
             a1 = self.param(f"alpha1_{i}", nn.initializers.ones, (self.channels,))
             a2 = self.param(f"alpha2_{i}", nn.initializers.ones, (self.channels,))
             pad1 = (self.kernel_size * d - d) // 2
             pad2 = (self.kernel_size - 1) // 2
             h = snake(x, a1)
-            h = Conv1d(self.channels, self.kernel_size, padding=pad1,
-                       dilation=d, name=f"convs1_{i}")(h)
+            h = m(Conv1d(self.channels, self.kernel_size, padding=pad1,
+                         dilation=d, name=f"convs1_{i}")(h))
             h = snake(h, a2)
-            h = Conv1d(self.channels, self.kernel_size, padding=pad2,
-                       name=f"convs2_{i}")(h)
+            h = m(Conv1d(self.channels, self.kernel_size, padding=pad2,
+                         name=f"convs2_{i}")(h))
             x = x + h
         return x
 
 
-def sine_source(f0_up, rng, sample_rate: float, n_harmonics: int,
-                sine_amp: float, noise_std: float, voiced_threshold: float):
+def sine_source(f0_up, rngs, sample_rate: float, n_harmonics: int,
+                sine_amp: float, noise_std: float, voiced_threshold: float,
+                frame: int = 480):
     """SineGen + harmonic merge input (hifigan.py:169-231).
 
-    f0_up: [B, T] per-sample f0 in Hz.  Returns sine waves [B, T, H+1] and
-    uv [B, T, 1].  Phase = 2*pi * frac(cumsum(f0 * (h+1) / sr)); all
-    harmonics share the fundamental's integral (scaled), so we integrate f0
-    once and scale per-harmonic — fewer cumsums and identical math.
+    f0_up: [B, T] per-sample f0 in Hz (T a multiple of ``frame``); rngs: [B]
+    per-request PRNG keys.  Returns sine waves [B, T, H+1] and uv [B, T, 1].
+
+    Noise is drawn per (request-key, frame-index) with fixed-size frame
+    chunks, so a request's source noise is identical whether it is vocoded
+    solo, in a batch, or with extra right-padding (length-invariance the
+    reference doesn't need at batch 1).
+
+    Phase = 2*pi * frac(cumsum(f0 * (h+1) / sr)); all harmonics share the
+    fundamental's integral (scaled), so we integrate f0 once and scale
+    per-harmonic — fewer cumsums, identical math.
     """
     harmonics = jnp.arange(1, n_harmonics + 2, dtype=jnp.float32)  # [H+1]
     base = jnp.cumsum(f0_up.astype(jnp.float32) / sample_rate, axis=-1)
     theta = 2.0 * jnp.pi * jnp.mod(base[..., None] * harmonics, 1.0)
 
-    rng_phase, rng_noise = jax.random.split(rng)
-    phase = jax.random.uniform(rng_phase, (f0_up.shape[0], 1, n_harmonics + 1),
-                               minval=-np.pi, maxval=np.pi)
-    phase = phase.at[:, :, 0].set(0.0)  # fundamental keeps zero phase
+    T = f0_up.shape[1]
+    n_frames = T // frame
+
+    def draw(key):
+        kp, kn = jax.random.split(key)
+        ph = jax.random.uniform(kp, (1, n_harmonics + 1),
+                                minval=-np.pi, maxval=np.pi)
+        ph = ph.at[:, 0].set(0.0)  # fundamental keeps zero phase
+        nz = jax.vmap(lambda f: jax.random.normal(
+            jax.random.fold_in(kn, f), (frame, n_harmonics + 1)))(
+            jnp.arange(n_frames))
+        return ph, nz.reshape(T, n_harmonics + 1)
+
+    phase, noise_unit = jax.vmap(draw)(rngs)
 
     sines = sine_amp * jnp.sin(theta + phase)
     uv = (f0_up > voiced_threshold).astype(jnp.float32)[..., None]
     noise_amp = uv * noise_std + (1.0 - uv) * sine_amp / 3.0
-    noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
-    return sines * uv + noise, uv
+    return sines * uv + noise_amp * noise_unit, uv
 
 
 class HiFTGenerator(nn.Module):
@@ -96,20 +116,39 @@ class HiFTGenerator(nn.Module):
     cfg: S3GenConfig
 
     @nn.compact
-    def __call__(self, mel, rng):
-        """mel: [B, F, n_mels] channels-last.  Returns ([B, F*480] wav,
-        [B, F*480] source)."""
+    def __call__(self, mel, rngs, valid_frames=None):
+        """mel: [B, F, n_mels] channels-last; rngs: [B] per-request PRNG keys
+        for the NSF source noise; valid_frames: optional [B] valid mel-frame
+        counts — activations beyond a request's valid region are re-zeroed at
+        every stage so batched/padded vocoding is bit-identical to exact-size
+        runs (conv biases would otherwise turn pad frames into nonzero
+        context; the batch-1 reference never pads).
+        Returns ([B, F*480] wav, [B, F*480] source)."""
         c = self.cfg
         base = c.hift_base_channels
+        F = mel.shape[1]
         up_prod = int(np.prod(c.upsample_rates)) * c.istft_hop  # 480
+
+        def keep_mask(n, rate, off=0, dtype=mel.dtype):
+            if valid_frames is None:
+                return None
+            keep = jnp.arange(n)[None, :] < valid_frames[:, None] * rate + off
+            return keep[..., None].astype(dtype)
+
+        def vmask(t, rate, off=0):
+            km = keep_mask(t.shape[1], rate, off, t.dtype)
+            return t if km is None else t * km
 
         # mel -> f0 -> per-sample source signal
         f0 = ConvRNNF0Predictor(c, name="f0_predictor")(mel)        # [B, F]
         f0_up = jnp.repeat(f0, up_prod, axis=-1)                    # [B, F*480]
         sines, _uv = sine_source(
-            f0_up, rng, 24_000.0, c.hift_nb_harmonics, c.nsf_alpha,
+            f0_up, rngs, 24_000.0, c.hift_nb_harmonics, c.nsf_alpha,
             c.nsf_sigma, c.nsf_voiced_threshold)
         s = jnp.tanh(nn.Dense(1, name="m_source_linear")(sines))[..., 0]
+        if valid_frames is not None:
+            s = s * (jnp.arange(s.shape[1])[None, :]
+                     < valid_frames[:, None] * up_prod).astype(s.dtype)
 
         # source STFT (torch.stft center=True): [B, n_fft+2, T/4+1] channels
         window = jnp.asarray(hann_window(c.istft_n_fft))
@@ -117,16 +156,21 @@ class HiFTGenerator(nn.Module):
         s_stft = jnp.concatenate([s_real, s_imag], axis=1).transpose(0, 2, 1)
         # [B, T/4 + 1, n_fft + 2]
 
-        x = Conv1d(base, 7, padding=3, name="conv_pre")(mel)
+        x = vmask(Conv1d(base, 7, padding=3, name="conv_pre")(mel), 1)
         down_cum = np.cumprod([1] + list(c.upsample_rates[::-1][:-1]))[::-1]
         n_up = len(c.upsample_rates)
+        rate = 1
         for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
             ch = base // (2 ** (i + 1))
+            rate *= u
+            off = 0
             x = jax.nn.leaky_relu(x, negative_slope=c.lrelu_slope)
             x = ConvTranspose1d(ch, k, u, padding=(k - u) // 2,
                                 name=f"ups_{i}")(x)
             if i == n_up - 1:
                 x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)), mode="reflect")
+                off = 1   # the left reflect pad shifts the valid window by 1
+            x = vmask(x, rate, off)
 
             du = int(down_cum[i])
             if du == 1:
@@ -134,26 +178,37 @@ class HiFTGenerator(nn.Module):
             else:
                 si = Conv1d(ch, du * 2, stride=du, padding=du // 2,
                             name=f"source_downs_{i}")(s_stft)
+            si = si[:, : x.shape[1]]
+            km = keep_mask(x.shape[1], rate, off, x.dtype)
             si = ResBlock(ch, c.source_resblock_kernel_sizes[i],
                           c.source_resblock_dilations[i],
-                          name=f"source_resblocks_{i}")(si)
-            x = x + si
+                          name=f"source_resblocks_{i}")(si if km is None else si * km, km)
+            x = vmask(x + si, rate, off)
 
             acc = None
             for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
                                              c.resblock_dilations)):
-                r = ResBlock(ch, rk, rd, name=f"resblocks_{i}_{j}")(x)
+                r = ResBlock(ch, rk, rd, name=f"resblocks_{i}_{j}")(x, km)
                 acc = r if acc is None else acc + r
-            x = acc / len(c.resblock_kernel_sizes)
+            x = vmask(acc / len(c.resblock_kernel_sizes), rate, off)
 
         x = jax.nn.leaky_relu(x)
         x = Conv1d(c.istft_n_fft + 2, 7, padding=3, name="conv_post")(x)
         n_bins = c.istft_n_fft // 2 + 1
-        magnitude = jnp.exp(jnp.clip(x[..., :n_bins], a_max=np.log(1e2)))
+        magnitude = jnp.exp(jnp.minimum(x[..., :n_bins], np.log(1e2)))
         phase = jnp.sin(x[..., n_bins:])
 
         real = (magnitude * jnp.cos(phase)).transpose(0, 2, 1)
         imag = (magnitude * jnp.sin(phase)).transpose(0, 2, 1)
+        if valid_frames is not None:
+            # Zero pad-region spectra so the overlap-add only sees valid
+            # frames.  (The WOLA denominator still differs from an exact-size
+            # run in the last n_fft - hop samples — a <=0.5 ms boundary
+            # region that downstream tail-trimming removes.)
+            km = keep_mask(real.shape[2], int(np.prod(c.upsample_rates)), 1,
+                           real.dtype)[..., 0]
+            real = real * km[:, None, :]
+            imag = imag * km[:, None, :]
         wav = istft(real, imag, window, c.istft_n_fft, c.istft_hop)
         wav = jnp.clip(wav, -c.audio_limit, c.audio_limit)
         return wav, s

@@ -5,16 +5,21 @@ from ``t3-model/config.json`` (30 layers, hidden 1024 per CFG stream, 16
 heads, head_dim 64, MLP 4096, SwiGLU, RMSNorm eps 1e-5, llama3-scaled RoPE
 theta 5e5).  Reference wiring: src/chatterbox_vllm/models/t3/t3.py:305-344.
 
-Design differences from the reference (TPU-first, not a port):
-  * Functional flax.linen modules over explicit KV-cache pytrees — no paged
-    CUDA kernels; the cache is a dense [L, B, S, H, D] slot cache written via
-    per-slot dynamic slices, attended with length masking (XLA fuses the
-    masked softmax-matmul chain onto the MXU).
-  * One ``__call__`` serves chunked prefill (T>1, writes at a given offset)
-    and batched decode (T=1) — no separate code paths per engine state.
-  * CFG cond/uncond run as two *batch lanes* of the same call, not as a
-    doubled hidden dim (reference t3.py:742-778 doubles hidden_size to smuggle
-    the second stream through vLLM).
+Design (TPU-first, not a port):
+  * CFG cond/uncond run as two *batch lanes*, not a doubled hidden dim
+    (reference t3.py:742-778 doubles hidden_size to smuggle the second
+    stream through vLLM).
+  * KV caching uses a **frozen-prefix + hot-ring** layout: XLA on TPU does
+    not reliably update a multi-GB cache in place (a single
+    dynamic-update-slice measured as a full-buffer copy, ~5 ms; a vmapped
+    per-slot scatter ~20 ms).  So inside a decode chunk the big cache is
+    READ-ONLY; each step's K/V goes into a small [L, B, H, C, D] ring at a
+    chunk-local scalar index (cheap), and the engine merges ring -> frozen
+    once per chunk.  Attention = softmax over the concatenated
+    (frozen-window, ring-prefix) score blocks.
+  * Prefill computes block K/V with no cache writes at all — the stacked
+    [L, B, H, P, D] output *becomes* the frozen cache for those slots.
+  * Layers are folded with nn.scan (stacked params, flat compile time).
 """
 from __future__ import annotations
 
@@ -38,29 +43,49 @@ def llama3_rope_frequencies(cfg: T3ModelConfig) -> jnp.ndarray:
     low_wavelen = cfg.rope_original_max_pos / cfg.rope_low_freq_factor
     high_wavelen = cfg.rope_original_max_pos / cfg.rope_high_freq_factor
     wavelen = 2.0 * jnp.pi / inv_freq
-    # smooth interpolation between scaled and unscaled bands
     smooth = (cfg.rope_original_max_pos / wavelen - cfg.rope_low_freq_factor) / (
         cfg.rope_high_freq_factor - cfg.rope_low_freq_factor
     )
     smooth = jnp.clip(smooth, 0.0, 1.0)
     scaled = inv_freq / cfg.rope_scaling_factor
     blended = (1.0 - smooth) * scaled + smooth * inv_freq
-    out = jnp.where(wavelen < high_wavelen, inv_freq,
-                    jnp.where(wavelen > low_wavelen, scaled, blended))
-    return out  # [head_dim // 2]
+    return jnp.where(wavelen < high_wavelen, inv_freq,
+                     jnp.where(wavelen > low_wavelen, scaled, blended))
 
 
 def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray) -> jnp.ndarray:
     """Rotate-half RoPE (HF/vLLM neox convention).
-
-    x: [B, T, H, D]; positions: [B, T] int32.
-    """
+    x: [B, T, H, D]; positions: [B, T] int32."""
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B, T, D/2]
-    cos = jnp.cos(angles)[:, :, None, :]  # [B, T, 1, D/2]
+    cos = jnp.cos(angles)[:, :, None, :]
     sin = jnp.sin(angles)[:, :, None, :]
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(x.dtype)
+
+
+@dataclasses.dataclass
+class KVCache:
+    """Stacked KV buffers: k/v are [n_layers, B, n_kv, T, head_dim]
+    (head-major so the decode contraction reads unit-stride S x D)."""
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, cfg: T3ModelConfig, batch: int, length: int, dtype=jnp.bfloat16):
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, length, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def length(self) -> int:
+        return self.k.shape[3]
+
+
+jax.tree_util.register_pytree_node(
+    KVCache,
+    lambda c: ((c.k, c.v), None),
+    lambda _, kv: KVCache(k=kv[0], v=kv[1]),
+)
 
 
 class RMSNorm(nn.Module):
@@ -75,88 +100,101 @@ class RMSNorm(nn.Module):
         return (normed * scale).astype(x.dtype)
 
 
-@dataclasses.dataclass
-class KVCache:
-    """Dense slot KV cache: k/v are [n_layers, B, max_len, n_kv, head_dim]."""
-    k: jnp.ndarray
-    v: jnp.ndarray
-
-    @classmethod
-    def zeros(cls, cfg: T3ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-        shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
-        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
-
-
-jax.tree_util.register_pytree_node(
-    KVCache,
-    lambda c: ((c.k, c.v), None),
-    lambda _, kv: KVCache(k=kv[0], v=kv[1]),
-)
-
-
-def _write_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
-    """Write [B, T, H, D] block into [B, S, H, D] cache at per-batch offsets."""
-    def write_one(buf, blk, s):
-        return jax.lax.dynamic_update_slice(buf, blk.astype(buf.dtype), (s, 0, 0))
-    return jax.vmap(write_one)(cache_layer, new, start)
+def _dense(features, name, dtype):
+    return nn.Dense(features, use_bias=False, name=name, dtype=dtype,
+                    param_dtype=jnp.float32)
 
 
 class Attention(nn.Module):
     cfg: T3ModelConfig
-    layer_idx: int
 
-    @nn.compact
-    def __call__(self, x, positions, kv_k, kv_v, write_start, kv_len, inv_freq):
-        """
-        x: [B, T, hidden]; positions: [B, T] absolute positions (RoPE + causal);
-        kv_k / kv_v: [B, S, n_kv, D] this layer's cache slices;
-        write_start: [B] index where this block's K/V get written;
-        kv_len: [B] total valid cache length *after* the write.
-        Returns (out [B, T, hidden], new_kv_k, new_kv_v).
-        """
+    def _qkv(self, x, positions, inv_freq):
         cfg = self.cfg
         B, T, _ = x.shape
-        S = kv_k.shape[1]
         h, kvh, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-
-        dense = lambda f, name: nn.Dense(f, use_bias=False, name=name,
-                                         dtype=x.dtype, param_dtype=jnp.float32)
-        q = dense(h * d, "q_proj")(x).reshape(B, T, h, d)
-        k = dense(kvh * d, "k_proj")(x).reshape(B, T, kvh, d)
-        v = dense(kvh * d, "v_proj")(x).reshape(B, T, kvh, d)
-
+        q = _dense(h * d, "q_proj", x.dtype)(x).reshape(B, T, h, d)
+        k = _dense(kvh * d, "k_proj", x.dtype)(x).reshape(B, T, kvh, d)
+        v = _dense(kvh * d, "v_proj", x.dtype)(x).reshape(B, T, kvh, d)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
+        return q, k, v
 
-        new_k = _write_cache(kv_k, k, write_start)
-        new_v = _write_cache(kv_v, v, write_start)
+    def _repeat_kv(self, t):
+        cfg = self.cfg
+        if cfg.n_kv_heads != cfg.n_heads:
+            t = jnp.repeat(t, cfg.n_heads // cfg.n_kv_heads, axis=1)
+        return t
 
-        # Attend over the full cache with causal + length masking.  With MHA
-        # (n_kv == n_heads) this is a plain batched matmul chain XLA maps to
-        # the MXU; GQA would add a repeat.
-        kq = new_k
-        vq = new_v
-        if kvh != h:
-            rep = h // kvh
-            kq = jnp.repeat(kq, rep, axis=2)
-            vq = jnp.repeat(vq, rep, axis=2)
+    @nn.compact
+    def __call__(self, x, positions, valid_len, inv_freq,
+                 frozen_k=None, frozen_v=None, frozen_len=None,
+                 ring_k=None, ring_v=None, ring_idx=None):
+        """Two modes:
 
-        scores = jnp.einsum("bthd,bshd->bhts", q, kq,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.float32(d))
+        Block mode (frozen_k is None): self-attention within the block with
+        causal + valid_len masking.  Returns (out, block_k, block_v) with
+        block K/V in cache layout [B, H, T, D].
 
-        key_pos = jnp.arange(S)[None, None, :]                  # [1,1,S]
-        q_pos = positions[:, :, None]                           # [B,T,1]
-        causal = key_pos <= q_pos                               # [B,T,S] keys at or before query pos
-        valid = key_pos < kv_len[:, None, None]                 # [B,T,S]
-        mask = (causal & valid)[:, None, :, :]                  # [B,1,T,S]
-        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        Decode mode (frozen_k given, T==1): attends frozen[0:frozen_len[b]]
+        plus ring[0:ring_idx] plus the current token; writes this token's
+        K/V into the ring at scalar index ring_idx.  Returns
+        (out, new_ring_k, new_ring_v).
+        """
+        cfg = self.cfg
+        d = cfg.head_dim
+        B, T, _ = x.shape
+        q, k, v = self._qkv(x, positions, inv_freq)
 
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", probs, vq)
-        out = out.reshape(B, T, h * d)
-        out = dense(cfg.hidden_size, "o_proj")(out)
-        return out, new_k, new_v
+        if frozen_k is None:
+            kc = k.transpose(0, 2, 1, 3)            # [B, H, T, D]
+            vc = v.transpose(0, 2, 1, 3)
+            kq, vq = self._repeat_kv(kc), self._repeat_kv(vc)
+            scores = jnp.einsum("bthd,bhsd->bhts", q, kq,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.float32(d))
+            key_pos = jnp.arange(T)[None, None, :]
+            causal = key_pos <= positions[:, :, None]
+            valid = key_pos < valid_len[:, None, None]
+            scores = jnp.where((causal & valid)[:, None], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhts,bhsd->bthd", probs, vq).reshape(B, T, -1)
+            return _dense(cfg.hidden_size, "o_proj", x.dtype)(out), kc, vc
+
+        # ---- decode mode ----
+        S = frozen_k.shape[2]
+        C = ring_k.shape[2]
+        kt = k.transpose(0, 2, 1, 3).astype(ring_k.dtype)   # [B, H, 1, D]
+        vt = v.transpose(0, 2, 1, 3).astype(ring_v.dtype)
+        new_ring_k = jax.lax.dynamic_update_slice(
+            ring_k, kt, (0, 0, ring_idx, 0))
+        new_ring_v = jax.lax.dynamic_update_slice(
+            ring_v, vt, (0, 0, ring_idx, 0))
+
+        fk, fv = self._repeat_kv(frozen_k), self._repeat_kv(frozen_v)
+        rk, rv = self._repeat_kv(new_ring_k), self._repeat_kv(new_ring_v)
+
+        sf = jnp.einsum("bthd,bhsd->bhts", q, fk,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(d))
+        sr = jnp.einsum("bthd,bhcd->bhtc", q, rk,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(d))
+
+        f_valid = (jnp.arange(S)[None, :] < frozen_len[:, None])[:, None, None, :]
+        r_valid = (jnp.arange(C)[None, :] <= ring_idx)[:, None, None, :]
+        sf = jnp.where(f_valid, sf, -1e30)
+        sr = jnp.where(r_valid, sr, -1e30)
+
+        # joint softmax over both segments
+        m = jnp.maximum(jnp.max(sf, axis=-1, keepdims=True),
+                        jnp.max(sr, axis=-1, keepdims=True))
+        ef = jnp.exp(sf - m)
+        er = jnp.exp(sr - m)
+        denom = jnp.sum(ef, axis=-1, keepdims=True) + jnp.sum(er, axis=-1, keepdims=True)
+        pf = (ef / denom).astype(x.dtype)
+        pr = (er / denom).astype(x.dtype)
+        out = (jnp.einsum("bhts,bhsd->bthd", pf, fv)
+               + jnp.einsum("bhtc,bhcd->bthd", pr, rv)).reshape(B, T, -1)
+        return (_dense(cfg.hidden_size, "o_proj", x.dtype)(out),
+                new_ring_k, new_ring_v)
 
 
 class MLP(nn.Module):
@@ -165,56 +203,70 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        dense = lambda f, name: nn.Dense(f, use_bias=False, name=name,
-                                         dtype=x.dtype, param_dtype=jnp.float32)
-        gate = dense(cfg.intermediate_size, "gate_proj")(x)
-        up = dense(cfg.intermediate_size, "up_proj")(x)
-        return dense(cfg.hidden_size, "down_proj")(jax.nn.silu(gate) * up)
+        gate = _dense(cfg.intermediate_size, "gate_proj", x.dtype)(x)
+        up = _dense(cfg.intermediate_size, "up_proj", x.dtype)(x)
+        return _dense(cfg.hidden_size, "down_proj", x.dtype)(jax.nn.silu(gate) * up)
 
 
 class LlamaBlock(nn.Module):
     cfg: T3ModelConfig
-    layer_idx: int = 0
 
     @nn.compact
-    def __call__(self, x, kv, positions, write_start, kv_len, inv_freq):
-        kv_k, kv_v = kv
-        attn_out, nk, nv = Attention(self.cfg, self.layer_idx, name="self_attn")(
-            RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x),
-            positions, kv_k, kv_v, write_start, kv_len, inv_freq)
-        x = x + attn_out
+    def __call__(self, x, layer_kv, positions, valid_len, inv_freq, ring_idx):
+        """Scanned layer.  layer_kv is either (None-mode) a placeholder for
+        block mode or (frozen_k, frozen_v, ring_k, ring_v) for decode."""
+        attn_in = RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x)
+        attn = Attention(self.cfg, name="self_attn")
+        if ring_idx is None:
+            out, kc, vc = attn(attn_in, positions, valid_len, inv_freq)
+            kv_out = (kc, vc)
+        else:
+            fk, fv, rk, rv = layer_kv
+            out, nrk, nrv = attn(attn_in, positions, valid_len, inv_freq,
+                                 frozen_k=fk, frozen_v=fv,
+                                 frozen_len=valid_len,
+                                 ring_k=rk, ring_v=rv, ring_idx=ring_idx)
+            kv_out = (nrk, nrv)
+        x = x + out
         x = x + MLP(self.cfg, name="mlp")(
             RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x))
-        return x, (nk, nv)
+        return x, kv_out
 
 
 class LlamaBackbone(nn.Module):
-    """30-layer Llama trunk operating on pre-computed input embeddings.
-
-    The T3 model feeds it mixed cond/text/speech embeddings (there is no
-    token-embedding table at this level; reference t3.py routes embeddings the
-    same way via ``inputs_embeds``).  Layers are folded with ``nn.scan`` —
-    params are stacked on a leading layer axis, the KV cache's layer axis is
-    the scan axis — which keeps compile time flat in depth and lets XLA keep
-    one resident program for all 30 layers.
-    """
+    """30-layer Llama trunk on pre-computed input embeddings (the T3 level
+    feeds mixed cond/text/speech embeddings, as the reference does via
+    ``inputs_embeds``)."""
     cfg: T3ModelConfig
 
-    @nn.compact
-    def __call__(self, embeds, positions, cache: KVCache, write_start, kv_len
-                 ) -> Tuple[jnp.ndarray, KVCache]:
-        cfg = self.cfg
-        inv_freq = llama3_rope_frequencies(cfg)
-
-        ScannedBlock = nn.scan(
+    def _scan(self):
+        return nn.scan(
             LlamaBlock,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
-            length=cfg.n_layers,
+            length=self.cfg.n_layers,
         )
-        x, (new_k, new_v) = ScannedBlock(cfg, name="layers")(
-            embeds, (cache.k, cache.v), positions, write_start, kv_len, inv_freq)
+
+    @nn.compact
+    def __call__(self, embeds, positions, valid_len, *, mode="block",
+                 frozen: Optional[KVCache] = None,
+                 ring: Optional[KVCache] = None,
+                 ring_idx=None):
+        cfg = self.cfg
+        inv_freq = llama3_rope_frequencies(cfg)
+        scan = self._scan()
+
+        if mode == "block":
+            dummy = jnp.zeros((cfg.n_layers, 0), embeds.dtype)
+            x, (ks, vs) = scan(cfg, name="layers")(
+                embeds, dummy, positions, valid_len, inv_freq, None)
+            x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
+            return x, KVCache(k=ks, v=vs)
+
+        x, (nrk, nrv) = scan(cfg, name="layers")(
+            embeds, (frozen.k, frozen.v, ring.k, ring.v),
+            positions, valid_len, inv_freq, ring_idx)
         x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
-        return x, KVCache(k=new_k, v=new_v)
+        return x, KVCache(k=nrk, v=nrv)

@@ -71,13 +71,13 @@ class T3Model(nn.Module):
                                             emotion_adv)
         embeds, prompt_len = self.build_prompt_embeds(cond_emb, text_ids, text_len)
         B = text_ids.shape[0]
-        P = embeds.shape[2]
-        cache = KVCache.zeros(self.cfg, 2 * B, P + 1, embeds.dtype)
         cfg_scale = jnp.full((B,), 0.5)
-        logits, cache = self.prefill(embeds, prompt_len, cache, cfg_scale)
+        logits, frozen = self.prefill(embeds, prompt_len, cfg_scale)
         toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        ring = KVCache.zeros(self.cfg, 2 * B, 4, frozen.k.dtype)
         logits, _ = self.decode_step(toks, jnp.ones((B,), jnp.int32),
-                                     prompt_len, cache, cfg_scale)
+                                     prompt_len, frozen, prompt_len, ring,
+                                     jnp.int32(0), cfg_scale)
         return logits
 
     # ------------------------------------------------------------------
@@ -98,6 +98,7 @@ class T3Model(nn.Module):
         P = cfg.cond_len + Tt + 1
 
         text_e = self.text_emb(text_ids) + self.text_pos_emb(jnp.arange(Tt))[None]
+        cond_emb = cond_emb.astype(text_e.dtype)
         sos = jnp.full((B, 1), cfg.start_speech_token, dtype=text_ids.dtype)
         sos_e = self.speech_emb(sos) + self.speech_pos_emb(jnp.zeros((1,), jnp.int32))[None]
 
@@ -131,19 +132,20 @@ class T3Model(nn.Module):
     # ------------------------------------------------------------------
     # Backbone passes
     # ------------------------------------------------------------------
-    def prefill(self, embeds, prompt_len, cache: KVCache, cfg_scale):
+    def prefill(self, embeds, prompt_len, cfg_scale):
         """Run the prompt through the trunk for both lanes.
 
-        embeds: [B, 2, P, H]; prompt_len: [B]; cache over batch 2B
-        (lane-major: [b*2 + lane]).  Returns (logits [B, V], new_cache).
-        Logits are the CFG-combined next-token distribution at the SOS slot.
+        embeds: [B, 2, P, H]; prompt_len: [B].  Returns
+        (logits [B, V], block_kv) where block_kv is the stacked
+        [L, 2B, H, P, D] K/V of the prompt (lane-major: [b*2 + lane]) — it
+        becomes the slots' frozen cache.  Logits are the CFG-combined
+        next-token distribution at the SOS slot.
         """
         B, _, P, H = embeds.shape
         x = embeds.reshape(B * 2, P, H)
         positions = jnp.broadcast_to(jnp.arange(P)[None], (B * 2, P))
         lens2 = jnp.repeat(prompt_len, 2)                   # [2B]
-        write_start = jnp.zeros((B * 2,), jnp.int32)
-        hidden, new_cache = self.backbone(x, positions, cache, write_start, lens2)
+        hidden, block_kv = self.backbone(x, positions, lens2, mode="block")
         # hidden state at the SOS position (= prompt_len - 1) predicts token 0
         last_idx = (prompt_len - 1)[:, None, None]
         hidden = hidden.reshape(B, 2, P, -1)
@@ -151,27 +153,68 @@ class T3Model(nn.Module):
             hidden, jnp.broadcast_to(last_idx[..., None], (B, 2, 1, hidden.shape[-1])),
             axis=2)[:, :, 0]                                # [B, 2, H]
         logits = self.cfg_logits(h_last, cfg_scale)
-        return logits, new_cache
+        return logits, block_kv
 
-    def decode_step(self, tokens, speech_idx, global_pos, cache: KVCache, cfg_scale):
-        """One decode step for all slots.
+    def decode_step(self, tokens, speech_idx, global_pos, frozen: KVCache,
+                    frozen_len, ring: KVCache, ring_idx, cfg_scale):
+        """One decode step for all slots (frozen-prefix + ring attention).
 
         tokens: [B] previously sampled speech tokens (base vocab space);
-        speech_idx: [B] index of this token within the speech segment (the
-        i-th generated token is fed at speech position i+1; SOS was 0);
-        global_pos: [B] absolute position in the sequence (for RoPE/cache).
-        Returns (logits [B, V], new_cache).
+        speech_idx: [B] speech position (the i-th generated token is fed at
+        speech position i+1; SOS was 0); global_pos: [B] absolute RoPE
+        position; frozen: read-only [L, 2B, H, S, D] prefix cache;
+        frozen_len: [B] frozen valid length at chunk start; ring: [L, 2B, H,
+        C, D] chunk-local cache; ring_idx: scalar chunk step.
+        Returns (logits [B, V], new_ring).
         """
         B = tokens.shape[0]
         emb = self.speech_emb(tokens) + self.speech_pos_emb(speech_idx)  # [B, H]
         x = jnp.repeat(emb[:, None, :], 2, axis=0).reshape(B * 2, 1, -1)
         positions = jnp.repeat(global_pos, 2)[:, None]
-        write_start = jnp.repeat(global_pos, 2)
-        kv_len = write_start + 1
-        hidden, new_cache = self.backbone(x, positions, cache, write_start, kv_len)
+        flen2 = jnp.repeat(frozen_len, 2)
+        hidden, new_ring = self.backbone(
+            x, positions, flen2, mode="decode",
+            frozen=frozen, ring=ring, ring_idx=ring_idx)
         h = hidden[:, 0].reshape(B, 2, -1)
         logits = self.cfg_logits(h, cfg_scale)
-        return logits, new_cache
+        return logits, new_ring
+
+    def training_forward(self, cond_emb, text_ids, speech_tokens, speech_len):
+        """Teacher-forced full-sequence forward for training / eval.
+
+        cond_emb: [B, 34, H]; text_ids: [B, Tt] (uniform length — standard
+        training padding); speech_tokens: [B, Ts] target speech tokens;
+        speech_len: [B] valid speech lengths.  Returns per-token CE loss
+        (mean over valid speech positions).
+
+        Sequence layout: [cond | text | SOS | speech[:-1]] predicts
+        [speech[0], ..., speech[Ts-1]] at the trailing Ts positions.
+        """
+        cfg = self.cfg
+        B, Tt = text_ids.shape
+        Ts = speech_tokens.shape[1]
+        P_len = cfg.cond_len + Tt + 1
+
+        text_e = self.text_emb(text_ids) + self.text_pos_emb(jnp.arange(Tt))[None]
+        sos = jnp.full((B, 1), cfg.start_speech_token, jnp.int32)
+        sos_e = self.speech_emb(sos) + self.speech_pos_emb(
+            jnp.zeros((1,), jnp.int32))[None]
+        sp_in = speech_tokens[:, :-1]
+        sp_e = self.speech_emb(sp_in) + self.speech_pos_emb(
+            jnp.arange(1, Ts))[None]
+
+        x = jnp.concatenate([cond_emb.astype(text_e.dtype), text_e, sos_e,
+                             sp_e], axis=1)
+        T = x.shape[1]
+        positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+        lens = jnp.full((B,), cfg.cond_len + Tt + 1, jnp.int32) + \
+            jnp.maximum(speech_len - 1, 0)
+        hidden, _ = self.backbone(x, positions, lens, mode="block")
+        logits = self.speech_head(hidden[:, P_len - 1:]).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = jnp.take_along_axis(logp, speech_tokens[..., None], axis=-1)[..., 0]
+        mask = (jnp.arange(Ts)[None, :] < speech_len[:, None]).astype(jnp.float32)
+        return -(tgt * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
     def cfg_logits(self, h_lanes, cfg_scale):
         """CFG combine over the speech head (reference t3.py:725-739):

@@ -42,11 +42,12 @@ def stft_realimag(x: jnp.ndarray, window: jnp.ndarray, n_fft: int, hop: int,
             jnp.imag(spec).transpose(0, 2, 1))
 
 
-def _ola_kernel(frame_len: int, hop: int) -> np.ndarray:
-    """conv_transpose kernel that overlap-adds frames: K[w, i, 0] = [w == i]."""
+def _ola_kernel(frame_len: int) -> np.ndarray:
+    """Flipped-identity kernel so conv_transpose scatters channel i to output
+    offset i: K[L-1-i, i, 0] = 1 (jax conv_transpose does not flip)."""
     k = np.zeros((frame_len, frame_len, 1), np.float32)
     for i in range(frame_len):
-        k[i, i, 0] = 1.0
+        k[frame_len - 1 - i, i, 0] = 1.0
     return k
 
 
@@ -54,9 +55,9 @@ def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     """[B, N, L] frames -> [B, (N-1)*hop + L] overlap-added signal via a
     fixed identity conv_transpose (XLA-friendly scatter-free OLA)."""
     L = frames.shape[-1]
-    kernel = jnp.asarray(_ola_kernel(L, hop))
+    kernel = jnp.asarray(_ola_kernel(L))
     y = jax.lax.conv_transpose(
-        frames, kernel, strides=(hop,), padding=[(0, 0)],
+        frames, kernel, strides=(hop,), padding=[(L - 1, L - 1)],
         dimension_numbers=("NWC", "WIO", "NWC"))
     return y[..., 0]
 

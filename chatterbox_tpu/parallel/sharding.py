@@ -1,0 +1,98 @@
+"""Device-mesh sharding layout for T3 (tensor + data parallel).
+
+The reference has NO distributed parallelism of its own (SURVEY §2.9 — vLLM's
+TP classes exist but are never configured).  This module is the TPU-native
+design: a (dp, tp) Mesh over ICI, NamedSharding specs for the Llama trunk
+(Megatron-style: qkv/gate/up column-split on tp, o/down row-split), batch
+sharded on dp, KV cache sharded (batch -> dp, heads -> tp).  XLA inserts the
+psum/all-gather collectives from the sharding propagation — no hand-written
+NCCL-style calls.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig, T3ModelConfig
+
+
+def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    dp, tp = cfg.dp, cfg.tp
+    if dp * tp != n:
+        # auto-layout: fill tp first (ICI-friendly), dp with the rest
+        tp = min(tp if tp > 1 else n, n)
+        while n % tp:
+            tp -= 1
+        dp = n // tp
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, cfg.axis_names)
+
+
+def t3_param_spec(cfg: T3ModelConfig) -> dict:
+    """PartitionSpec tree matching T3Model's param tree.
+
+    Trunk layout (leading axis = scanned layer axis, never sharded):
+      q/k/v kernels [L, H, heads*hd]  -> split output dim on tp
+      o_proj        [L, heads*hd, H]  -> split input dim on tp
+      gate/up       [L, H, ffn]       -> split output dim on tp
+      down          [L, ffn, H]       -> split input dim on tp
+    Embeddings/head are replicated (8k x 1k is small); norms replicated.
+    """
+    col = {"kernel": P(None, None, "tp")}   # split last (output) dim
+    row = {"kernel": P(None, "tp", None)}   # split middle (input) dim
+    rep = P()
+
+    def rep_tree(x):
+        return jax.tree.map(lambda _: rep, x) if isinstance(x, dict) else rep
+
+    layers = {
+        "self_attn": {"q_proj": col, "k_proj": col, "v_proj": col,
+                      "o_proj": row},
+        "mlp": {"gate_proj": col, "up_proj": col, "down_proj": row},
+        "input_layernorm": {"weight": P(None, None)},
+        "post_attention_layernorm": {"weight": P(None, None)},
+    }
+    spec = {
+        "text_emb": {"embedding": rep},
+        "speech_emb": {"embedding": rep},
+        "text_pos_emb": {"embedding": rep},
+        "speech_pos_emb": {"embedding": rep},
+        "speech_head": {"kernel": P(None, "tp")},
+        "backbone": {"layers": layers, "norm": {"weight": rep}},
+        "cond_enc": {
+            "spkr_enc": {"kernel": rep, "bias": rep},
+            "emotion_adv_fc": {"kernel": rep},
+            "perceiver": {
+                "pre_attention_query": rep,
+                "attn": {
+                    "norm": {"scale": rep, "bias": rep},
+                    "to_q": {"kernel": rep, "bias": rep},
+                    "to_k": {"kernel": rep, "bias": rep},
+                    "to_v": {"kernel": rep, "bias": rep},
+                    "proj_out": {"kernel": rep, "bias": rep},
+                },
+            },
+        },
+    }
+    return {"params": spec}
+
+
+def shard_params(params, mesh: Mesh, spec_tree) -> Any:
+    def place(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(place, params, spec_tree)
+
+
+def kv_cache_spec() -> P:
+    """KV cache [L, B2, S, heads, hd]: batch on dp, heads on tp."""
+    return P(None, "dp", None, "tp", None)
+
+
+def batch_spec() -> P:
+    return P("dp")

@@ -79,6 +79,20 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _merge_ring(frozen, ring, g0, n_new):
+    """Merge ring [L, B2, H, C, D] into frozen [L, B2, H, S, D]: for lane b,
+    ring[c] -> frozen[g0[b] + c] for c < n_new[b]."""
+    S = frozen.shape[3]
+    C = ring.shape[3]
+    s = jnp.arange(S)[None, :]
+    c = s - g0[:, None]                             # [B2, S]
+    use = (c >= 0) & (c < n_new[:, None])
+    cidx = jnp.clip(c, 0, C - 1)
+    gathered = jnp.take_along_axis(
+        ring, cidx[None, :, None, :, None], axis=3)
+    return jnp.where(use[None, :, None, :, None], gathered, frozen)
+
+
 class T3Engine:
     """Slot-based continuous batching over the T3 model."""
 
@@ -92,8 +106,8 @@ class T3Engine:
         self.S = eng.max_model_len
         self.max_out = eng.tokens_max + 8
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
-        kv_dtype = jnp.bfloat16 if eng.kv_dtype == "bfloat16" else jnp.bfloat16
-        self._kv_dtype = kv_dtype
+        self._kv_dtype = {"bfloat16": jnp.bfloat16,
+                          "float32": jnp.float32}.get(eng.kv_dtype, jnp.bfloat16)
 
         # Invalid-id mask: only real codes and EOS are sampleable (the
         # reference samples anything then drops invalid ids, tts.py:463-465;
@@ -106,8 +120,8 @@ class T3Engine:
 
         self._jit_prefill = {}
         self._decode_chunk = jax.jit(
-            self._decode_chunk_impl, static_argnames=("n_steps",),
-            donate_argnames=("cache", "st"))
+            self._decode_chunk_impl, static_argnames=("n_steps", "s_active"),
+            donate_argnames=("frozen", "st"))
         self._insert = jax.jit(self._insert_impl, donate_argnames=("cache", "st"))
 
         self.reset()
@@ -131,6 +145,10 @@ class T3Engine:
         )
         self.free_slots = list(range(B))
         self.slot_uid = [None] * B
+        # host-side upper bound on any slot's cache position (avoids a device
+        # fetch per chunk when picking the s_active bucket)
+        self._pos_upper = 0
+        self._slot_pos_cap = [0] * B
 
     # ------------------------------------------------------------------
     # Prefill path
@@ -138,16 +156,14 @@ class T3Engine:
     def _prefill_fn(self, m: int, text_bucket: int):
         key = (m, text_bucket)
         if key not in self._jit_prefill:
-            P = self.cfg.cond_len + text_bucket + 1
 
             def run(params, cond_emb, text_ids, text_len, cfg_scale):
                 def apply(model):
                     embeds, prompt_len = model.build_prompt_embeds(
                         cond_emb, text_ids, text_len)
-                    cache = KVCache.zeros(self.cfg, 2 * m, P, self._kv_dtype)
-                    logits, new_cache = model.prefill(
-                        embeds, prompt_len, cache, cfg_scale)
-                    return logits, new_cache, prompt_len
+                    logits, block_kv = model.prefill(
+                        embeds, prompt_len, cfg_scale)
+                    return logits, block_kv, prompt_len
                 return nn_apply(self.model, params, apply)
 
             self._jit_prefill[key] = jax.jit(run)
@@ -162,10 +178,10 @@ class T3Engine:
         (slot, lane)-major matching lane index slot*2+lane in the big cache.
         """
         m = slot_ids.shape[0]
-        P = pre_k.shape[2]
+        P = pre_k.shape[3]
         lane_ids = jnp.stack([slot_ids * 2, slot_ids * 2 + 1], axis=1).reshape(-1)
-        k = cache.k.at[:, lane_ids, :P].set(pre_k.astype(cache.k.dtype))
-        v = cache.v.at[:, lane_ids, :P].set(pre_v.astype(cache.v.dtype))
+        k = cache.k.at[:, lane_ids, :, :P].set(pre_k.astype(cache.k.dtype))
+        v = cache.v.at[:, lane_ids, :, :P].set(pre_v.astype(cache.v.dtype))
 
         sid = slot_ids
         st = st._replace(
@@ -191,17 +207,41 @@ class T3Engine:
         )
         return KVCache(k=k, v=v), st
 
+    def _s_bucket(self, pos: int) -> int:
+        return max(128, min(self.S, -(-pos // 128) * 128))
+
+    def precompile(self):
+        """Compile the decode chunk for every s_active bucket up front so
+        steady-state serving never hits a compile."""
+        buckets = sorted({self._s_bucket(p)
+                          for p in range(128, self.S + 128, 128)})
+        for s_active in buckets:
+            self.cache, self.state = self._decode_chunk(
+                self.params, self.cache, self.state,
+                n_steps=self.eng.decode_chunk, s_active=s_active)
+        self.reset()
+
     # ------------------------------------------------------------------
-    # Decode path
+    # Decode path (frozen-prefix + chunk ring; see models/t3/backbone.py)
     # ------------------------------------------------------------------
-    def _decode_chunk_impl(self, params, cache: KVCache, st: SlotState, *, n_steps: int):
-        def step(carry, _):
-            cache, st = carry
+    def _decode_chunk_impl(self, params, frozen: KVCache, st: SlotState, *,
+                           n_steps: int, s_active: int):
+        g0 = st.global_pos                       # frozen length per slot
+        ring = KVCache.zeros(self.cfg, 2 * self.B, n_steps, frozen.k.dtype)
+        # Attention only reads the live prefix of the frozen cache —
+        # s_active is bucketed by the engine so early decode steps don't
+        # stream the whole max_model_len cache.
+        fro = KVCache(k=frozen.k[:, :, :, :s_active],
+                      v=frozen.v[:, :, :, :s_active])
+
+        def step(carry, c):
+            ring, st = carry
 
             def apply(model):
                 return model.decode_step(
-                    st.tokens, st.n_generated, st.global_pos, cache, st.cfg_scale)
-            logits, new_cache = nn_apply(self.model, params, apply)
+                    st.tokens, st.n_generated, st.global_pos, fro, g0,
+                    ring, c, st.cfg_scale)
+            logits, new_ring = nn_apply(self.model, params, apply)
             logits = jnp.where(self._allow_mask[None, :], logits, -jnp.inf)
 
             tokens, sampler = sample_step(logits, st.params, st.sampler)
@@ -218,7 +258,6 @@ class T3Engine:
                 jnp.where(live, tokens, st.out_buf[jnp.arange(self.B),
                                                    jnp.clip(st.n_generated, 0, self.max_out - 1)]))
 
-            # Frozen slots keep rewriting the same cache position (harmless).
             new_st = st._replace(
                 tokens=tokens,
                 n_generated=n_next,
@@ -230,10 +269,20 @@ class T3Engine:
                     seen=jnp.where(live[:, None], sampler.seen, st.sampler.seen),
                     rng=sampler.rng),
             )
-            return (new_cache, new_st), None
+            return (new_ring, new_st), None
 
-        (cache, st), _ = jax.lax.scan(step, (cache, st), None, length=n_steps)
-        return cache, st
+        (ring, st), _ = jax.lax.scan(step, (ring, st), jnp.arange(n_steps))
+
+        # merge ring -> frozen: per slot, ring entries [0, n_new) land at
+        # frozen positions [g0, g0 + n_new).  Gather-based full rewrite — a
+        # per-slot scatter lowers to an XLA scatter that costs ~4x more here.
+        n_new = st.global_pos - g0
+        g0_l = jnp.repeat(g0, 2)
+        n_l = jnp.repeat(n_new, 2)
+        frozen = KVCache(
+            k=_merge_ring(frozen.k, ring.k, g0_l, n_l),
+            v=_merge_ring(frozen.v, ring.v, g0_l, n_l))
+        return frozen, st
 
     # ------------------------------------------------------------------
     # Orchestration
@@ -253,8 +302,13 @@ class T3Engine:
                 self._admit([requests[i] for i in batch_idx], batch_idx)
 
             # --- decode ---
+            self._slot_pos_cap = [
+                min(self.S, c + eng.decode_chunk) if self.slot_uid[i] is not None
+                else 0 for i, c in enumerate(self._slot_pos_cap)]
+            s_active = self._s_bucket(max(self._slot_pos_cap, default=0))
             self.cache, self.state = self._decode_chunk(
-                self.params, self.cache, self.state, n_steps=eng.decode_chunk)
+                self.params, self.cache, self.state,
+                n_steps=eng.decode_chunk, s_active=s_active)
 
             # --- harvest ---
             done = np.asarray(self.state.done)
@@ -273,6 +327,7 @@ class T3Engine:
                         finished_by_stop=by_stop)
                     self.slot_uid[slot] = None
                     self.free_slots.append(slot)
+                    self._slot_pos_cap[slot] = 0
                     self.state = self.state._replace(
                         active=self.state.active.at[slot].set(False))
                 if progress:
@@ -316,16 +371,18 @@ class T3Engine:
             logits, sp, SamplerState.init(m_bucket, self.cfg.speech_vocab_size, sub))
 
         slots = [self.free_slots.pop(0) for _ in range(m)]
-        for s, ridx in zip(slots, ridxs):
+        for j, (s, ridx) in enumerate(zip(slots, ridxs)):
             self.slot_uid[s] = ridx
+            self._slot_pos_cap[s] = self.cfg.cond_len + len(reqs[j].text_ids) + 1
 
         self.rng, chunk_rng = jax.random.split(self.rng)
-        sel = list(range(m))
+        sel = np.arange(m)
+        lane_sel = np.stack([2 * sel, 2 * sel + 1], axis=1).reshape(-1)
         self.cache, self.state = self._insert(
             self.cache, self.state,
             jnp.asarray(slots, jnp.int32),
-            pre_cache.k[:, [j for s in sel for j in (2 * s, 2 * s + 1)]],
-            pre_cache.v[:, [j for s in sel for j in (2 * s, 2 * s + 1)]],
+            pre_cache.k[:, lane_sel],
+            pre_cache.v[:, lane_sel],
             prompt_len[sel], first_tokens[sel], chunk_rng,
             jnp.asarray([min(r.max_new_tokens, self.max_out,
                              self.S - len(r.text_ids) - self.cfg.cond_len - 1)

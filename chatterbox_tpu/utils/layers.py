@@ -82,9 +82,12 @@ class ConvTranspose1d(nn.Module):
     @nn.compact
     def __call__(self, x):
         k, s, p = self.kernel_size, self.stride, self.padding
+        # transpose_kernel=True: kernel laid out as the forward conv being
+        # transposed -> [k, features_out, features_in] (matches torch
+        # ConvTranspose1d weight [in, out, k] transposed (2,1,0))
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (k, x.shape[-1], self.features))
+            (k, self.features, x.shape[-1]))
         y = jax.lax.conv_transpose(
             x, kernel, strides=(s,),
             padding=[(k - 1 - p, k - 1 - p)],

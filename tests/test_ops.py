@@ -1,0 +1,91 @@
+"""Numerical tests for ops: STFT/iSTFT vs torch oracle, sampler semantics,
+conv layers vs torch functional ops."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from chatterbox_tpu.ops.stft import hann_window, istft, overlap_add, stft_realimag
+from chatterbox_tpu.ops.sampling import (SamplerState, SamplingParams,
+                                         apply_repetition_penalty, sample_step,
+                                         top_p_min_p_mask)
+
+
+def test_stft_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 1024)).astype(np.float32)
+    n_fft, hop = 16, 4
+    win = hann_window(n_fft)
+    real, imag = stft_realimag(jnp.asarray(x), jnp.asarray(win), n_fft, hop)
+    ref = torch.stft(torch.from_numpy(x), n_fft, hop, n_fft,
+                     window=torch.from_numpy(win), return_complex=True)
+    np.testing.assert_allclose(np.asarray(real), ref.real.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(imag), ref.imag.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_istft_matches_torch():
+    rng = np.random.default_rng(1)
+    n_fft, hop, frames = 16, 4, 257
+    win = hann_window(n_fft)
+    mag = rng.uniform(0.1, 2.0, (2, n_fft // 2 + 1, frames)).astype(np.float32)
+    ph = rng.uniform(-1, 1, (2, n_fft // 2 + 1, frames)).astype(np.float32)
+    real, imag = mag * np.cos(ph), mag * np.sin(ph)
+    out = istft(jnp.asarray(real), jnp.asarray(imag), jnp.asarray(win), n_fft, hop)
+    ref = torch.istft(torch.complex(torch.from_numpy(real), torch.from_numpy(imag)),
+                      n_fft, hop, n_fft, window=torch.from_numpy(win))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_overlap_add_basic():
+    frames = jnp.ones((1, 3, 4))
+    y = overlap_add(frames, 2)  # frames at 0, 2, 4; length (3-1)*2+4 = 8
+    expect = np.array([1, 1, 2, 2, 2, 2, 1, 1], np.float32)
+    np.testing.assert_allclose(np.asarray(y[0]), expect)
+
+
+def test_repetition_penalty():
+    logits = jnp.asarray([[2.0, -2.0, 1.0]])
+    seen = jnp.asarray([[True, True, False]])
+    out = apply_repetition_penalty(logits, seen, jnp.asarray([2.0]))
+    np.testing.assert_allclose(np.asarray(out[0]), [1.0, -4.0, 1.0])
+
+
+def test_top_p_keeps_nucleus():
+    # probs ~ [0.6, 0.3, 0.08, 0.02]; top_p=0.7 keeps first two
+    logits = jnp.log(jnp.asarray([[0.6, 0.3, 0.08, 0.02]]))
+    out = np.asarray(top_p_min_p_mask(logits, jnp.asarray([0.7]),
+                                      jnp.asarray([0.0])))
+    assert np.isfinite(out[0, :2]).all()
+    assert np.isinf(out[0, 2:]).all() and (out[0, 2:] < 0).all()
+
+
+def test_min_p_filters():
+    logits = jnp.log(jnp.asarray([[0.6, 0.3, 0.08, 0.02]]))
+    out = np.asarray(top_p_min_p_mask(logits, jnp.asarray([1.0]),
+                                      jnp.asarray([0.2])))  # thr = 0.12
+    assert np.isfinite(out[0, :2]).all()
+    assert np.isinf(out[0, 2:]).all()
+
+
+def test_greedy_sampling():
+    logits = jnp.asarray([[0.1, 5.0, 0.2], [3.0, 0.0, 0.1]])
+    params = SamplingParams.full(2, temperature=0.0)
+    st = SamplerState.init(2, 3, jax.random.PRNGKey(0))
+    toks, st2 = sample_step(logits, params, st)
+    np.testing.assert_array_equal(np.asarray(toks), [1, 0])
+    assert bool(st2.seen[0, 1]) and bool(st2.seen[1, 0])
+
+
+def test_sampling_respects_mask():
+    """With top_p tiny, sampling must be near-greedy."""
+    logits = jnp.asarray([[0.0, 8.0, 0.0, 0.0]])
+    params = SamplingParams.full(1, temperature=1.0, top_p=0.01, min_p=0.0,
+                                 repetition_penalty=1.0)
+    st = SamplerState.init(1, 4, jax.random.PRNGKey(3))
+    for _ in range(5):
+        toks, st = sample_step(logits, params, st._replace(
+            seen=jnp.zeros_like(st.seen)))
+        assert int(toks[0]) == 1

@@ -61,14 +61,15 @@ def test_decode_matches_full_forward(tiny):
     def incremental(cond, text, tlen):
         def run(m):
             embeds, plen = m.build_prompt_embeds(cond, text, tlen)
-            cache = KVCache.zeros(cfg, 2 * B, S, jnp.float32)
-            logits, cache = m.prefill(embeds, plen, cache, cfgs)
+            logits, frozen = m.prefill(embeds, plen, cfgs)
+            ring = KVCache.zeros(cfg, 2 * B, EXT, jnp.float32)
             toks = jnp.argmax(logits, -1).astype(jnp.int32)
             outs, all_toks = [], [toks]
             pos = plen
             for i in range(EXT):
-                logits, cache = m.decode_step(
-                    toks, jnp.full((B,), i + 1, jnp.int32), pos, cache, cfgs)
+                logits, ring = m.decode_step(
+                    toks, jnp.full((B,), i + 1, jnp.int32), pos, frozen,
+                    plen, ring, jnp.int32(i), cfgs)
                 outs.append(logits)
                 toks = jnp.argmax(logits, -1).astype(jnp.int32)
                 all_toks.append(toks)
@@ -92,12 +93,10 @@ def test_decode_matches_full_forward(tiny):
                     jnp.full((B,), i + 1, jnp.int32))           # [B, H]
                 onehot = (jnp.arange(P + EXT)[None] == (plen + i)[:, None])
                 full_e = full_e + onehot[:, None, :, None] * e[:, None, None, :]
-            cache = KVCache.zeros(cfg, 2 * B, P + EXT, jnp.float32)
             x = full_e.reshape(2 * B, P + EXT, H)
             positions = jnp.broadcast_to(jnp.arange(P + EXT)[None], (2 * B, P + EXT))
             lens2 = jnp.repeat(plen + EXT, 2)
-            hidden, _ = m.backbone(x, positions, cache,
-                                   jnp.zeros((2 * B,), jnp.int32), lens2)
+            hidden, _ = m.backbone(x, positions, lens2, mode="block")
             hidden = hidden.reshape(B, 2, P + EXT, -1)
             outs = []
             for i in range(EXT):
