@@ -64,7 +64,9 @@ def main():
     engine.precompile()
     warm = [Request(text_ids=reqs[i].text_ids, cond_emb=reqs[i].cond_emb,
                     max_new_tokens=40, uid=i) for i in range(eng.max_batch_size)]
-    engine.generate(warm)
+    for n in (1, 4, len(warm)):        # cover the prefill m-buckets
+        engine.generate(warm[:n])
+        engine.reset()
     log(f"warmup (compile): {time.time() - t0:.1f}s")
 
     engine.reset()

@@ -295,8 +295,11 @@ class T3Engine:
         eng = self.eng
 
         while pending or any(self.slot_uid[i] is not None for i in range(self.B)):
-            # --- admission ---
-            while pending and self.free_slots:
+            # --- admission (hysteresis: wait for a meaningful batch of free
+            # slots so prefill launches stay in a small set of compiled
+            # bucket shapes) ---
+            min_wave = min(len(pending), max(1, self.B // 4)) if pending else 0
+            while pending and len(self.free_slots) >= max(1, min_wave):
                 take = min(len(self.free_slots), len(pending), self.B)
                 batch_idx = [pending.pop(0) for _ in range(take)]
                 self._admit([requests[i] for i in batch_idx], batch_idx)
@@ -338,7 +341,8 @@ class T3Engine:
     def _admit(self, reqs: List[Request], ridxs: List[int]):
         eng = self.eng
         m = len(reqs)
-        m_bucket = 1 << (m - 1).bit_length()
+        # keep prefill compile shapes to a small set: m in {1, 4, B}
+        m_bucket = next(b for b in (1, 4, self.B) if b >= m) if m <= self.B else self.B
         text_bucket = _bucket(max(len(r.text_ids) for r in reqs),
                               eng.prefill_buckets)
 
