@@ -1,0 +1,217 @@
+"""OpenAI-compatible TTS HTTP server (stdlib; no FastAPI dependency).
+
+Parity target: reference openai_tts_server.py — POST /v1/audio/speech with
+the same JSON schema (`model`, `input`, `voice`, `response_format`,
+`stream`, plus the reference's extension knobs: `exaggeration`,
+`temperature`, `diffusion_steps`, `language`, `first_chunk_chars`,
+`frame_ms`), WAV / raw-PCM16 output, and a chunked-streaming mode that
+splits text for low first-audio latency (:144-217), synthesizes per chunk
+and emits fixed-size PCM frames (:438-528).  Startup warmup synthesis
+(:533-605) and health endpoint included.
+
+Implementation: ThreadingHTTPServer + chunked transfer encoding.  Synthesis
+is serialized through an engine lock (one continuous-batching engine instance
+serves all connections; batching happens inside the engine across the
+request list of a call — cross-request batching at the HTTP layer is a
+round-2 item).
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import struct
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..audio.text import split_text_by_sentence
+from ..config import S3GEN_SR
+
+
+def pcm16_bytes(wav: np.ndarray) -> bytes:
+    x = np.clip(wav, -1.0, 1.0)
+    return (x * 32767.0).astype("<i2").tobytes()
+
+
+def wav_bytes(wav: np.ndarray, sr: int = S3GEN_SR) -> bytes:
+    """Minimal RIFF/WAVE PCM16 container (reference :117-141)."""
+    pcm = pcm16_bytes(wav)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1, sr,
+        sr * 2, 2, 16, b"data", len(pcm))
+    return hdr + pcm
+
+
+def split_for_low_latency(text: str, first_chunk_chars: int = 120,
+                          max_chars: int = 400) -> List[str]:
+    """Small first chunk for TTFA, larger follow-ups (reference :144-217)."""
+    text = text.strip()
+    if len(text) <= first_chunk_chars:
+        return [text] if text else []
+    head = text[:first_chunk_chars]
+    # prefer a sentence/clause boundary inside the head window
+    m = list(re.finditer(r"[.!?,;。？！，]\s*", head))
+    cut = m[-1].end() if m else first_chunk_chars
+    first = text[:cut].strip()
+    rest = text[cut:].strip()
+    return ([first] if first else []) + split_text_by_sentence(rest, max_chars)
+
+
+class TTSService:
+    """Wraps a ChatterboxTTS session behind a lock + warmup."""
+
+    def __init__(self, tts, warmup_text: Optional[str] = None):
+        self.tts = tts
+        self.lock = threading.Lock()
+        if warmup_text:
+            try:
+                t0 = time.time()
+                self.synthesize(warmup_text)
+                print(f"[Server] warmup synthesis: {time.time() - t0:.1f}s")
+            except Exception as e:  # warmup failure tolerated (ref :602-603)
+                print(f"[Server] warmup failed: {e}")
+
+    def synthesize(self, text: str, language: str = "en",
+                   exaggeration: float = 0.5, temperature: float = 0.8,
+                   diffusion_steps: int = 10,
+                   voice_path: Optional[str] = None) -> np.ndarray:
+        with self.lock:
+            wavs = self.tts.generate(
+                [text], audio_prompt_path=voice_path, language_id=language,
+                exaggeration=exaggeration, temperature=temperature,
+                diffusion_steps=diffusion_steps)
+        return np.asarray(wavs[0])
+
+    def stream_pcm_frames(self, text: str, frame_ms: int = 20,
+                          first_chunk_chars: int = 120,
+                          **kw) -> Iterator[bytes]:
+        frame_len = int(S3GEN_SR * frame_ms / 1000) * 2  # bytes
+        fade = int(S3GEN_SR * 0.005)
+        for chunk in split_for_low_latency(text, first_chunk_chars):
+            wav = self.synthesize(chunk, **kw)
+            if len(wav) > fade:  # 5 ms tail fade per chunk (ref :509-514)
+                wav = wav.copy()
+                wav[-fade:] *= np.linspace(1.0, 0.0, fade, dtype=np.float32)
+            pcm = pcm16_bytes(wav)
+            for off in range(0, len(pcm), frame_len):
+                yield pcm[off: off + frame_len]
+
+
+def make_handler(service: TTSService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            print(f"[Server] {self.address_string()} {fmt % args}")
+
+        def do_GET(self):
+            if self.path in ("/health", "/v1/health"):
+                body = json.dumps({"status": "ok"}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path != "/v1/audio/speech":
+                self.send_error(404)
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = req.get("input", "")
+                if not text:
+                    raise ValueError("'input' is required")
+                fmt = req.get("response_format", "wav")
+                stream = bool(req.get("stream", False))
+                kw = dict(
+                    language=req.get("language", "en"),
+                    exaggeration=float(req.get("exaggeration", 0.5)),
+                    temperature=float(req.get("temperature", 0.8)),
+                    diffusion_steps=int(req.get("diffusion_steps", 10)),
+                )
+                voice = req.get("voice")
+                if voice and voice not in ("alloy", "default") and os.path.isfile(voice):
+                    kw["voice_path"] = voice
+            except Exception as e:
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+
+            try:
+                if stream:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/pcm")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    for frame in service.stream_pcm_frames(
+                            text,
+                            frame_ms=int(req.get("frame_ms", 20)),
+                            first_chunk_chars=int(req.get("first_chunk_chars", 120)),
+                            **kw):
+                        self.wfile.write(f"{len(frame):x}\r\n".encode())
+                        self.wfile.write(frame)
+                        self.wfile.write(b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                else:
+                    wav = service.synthesize(text, **kw)
+                    body = (pcm16_bytes(wav) if fmt == "pcm"
+                            else wav_bytes(wav))
+                    ctype = "audio/pcm" if fmt == "pcm" else "audio/wav"
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+            except BrokenPipeError:
+                pass
+            except Exception as e:
+                try:
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_response(500)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except Exception:
+                    pass
+
+    return Handler
+
+
+def serve(tts, host: str = "0.0.0.0", port: int = 8000,
+          warmup_text: Optional[str] = None):
+    service = TTSService(tts, warmup_text=warmup_text
+                         or os.environ.get("CHATTERBOX_WARMUP_TEXT"))
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    print(f"[Server] listening on {host}:{port}")
+    httpd.serve_forever()
+
+
+def main():
+    from .tts import ChatterboxTTS
+    variant = os.environ.get("CHATTERBOX_VARIANT", "english")
+    ckpt = os.environ.get("CHATTERBOX_CKPT_DIR")
+    if ckpt:
+        tts = ChatterboxTTS.from_local(ckpt, variant=variant)
+    else:
+        print("[Server] CHATTERBOX_CKPT_DIR unset -> random-weight dev model")
+        tts = ChatterboxTTS.from_random(variant=variant)
+    serve(tts, port=int(os.environ.get("PORT", 8000)))
+
+
+if __name__ == "__main__":
+    main()

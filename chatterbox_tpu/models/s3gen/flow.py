@@ -86,7 +86,7 @@ class CausalFlow(nn.Module):
             dt = t_span[i + 1] - t_span[i]
             v = self.estimate_cfg(x, mask, mu, t, spks, cond,
                                   c.inference_cfg_rate)
-            return x + dt * v
+            return (x + dt * v).astype(x.dtype)
 
         return jax.lax.fori_loop(0, n_timesteps, body, z)
 
@@ -123,7 +123,7 @@ class CausalFlow(nn.Module):
 
         mel = self.solve_euler(noise[:, :F].astype(mu.dtype), mu, mask,
                                spks, cond, n_timesteps)
-        return mel.astype(jnp.float32), mel_len
+        return mel, mel_len
 
 
 def fixed_noise(n_mels: int, frames: int = MAX_NOISE_FRAMES, seed: int = 1986):

@@ -89,14 +89,14 @@ class ConvTranspose1d(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (k, self.features, x.shape[-1]))
         y = jax.lax.conv_transpose(
-            x, kernel, strides=(s,),
+            x, kernel.astype(x.dtype), strides=(s,),
             padding=[(k - 1 - p, k - 1 - p)],
             dimension_numbers=("NWC", "WIO", "NWC"),
             transpose_kernel=True,
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(x.dtype)
         return y
 
 

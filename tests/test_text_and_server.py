@@ -1,0 +1,127 @@
+"""Text utilities, tokenizer preprocessing, and HTTP server plumbing tests."""
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from chatterbox_tpu.audio.text import (estimate_token_cap, punc_norm,
+                                       split_text_by_sentence,
+                                       SUPPORTED_LANGUAGES)
+from chatterbox_tpu.api.server import (pcm16_bytes, split_for_low_latency,
+                                       wav_bytes)
+
+
+def test_punc_norm_parity():
+    assert punc_norm("") == "You need to add some text for me to talk."
+    assert punc_norm("hello world") == "Hello world."
+    assert punc_norm("Hi…  there") == "Hi,  there."  # "…" -> ", " (ref parity)
+    assert punc_norm("What: yes; no") == "What, yes,  no."  # ';' -> ', '
+    assert punc_norm("Already done!") == "Already done!"
+    assert punc_norm("a — b") == "A - b."
+
+
+def test_supported_languages_is_23():
+    assert len(SUPPORTED_LANGUAGES) == 23
+    assert SUPPORTED_LANGUAGES["zh"] == "Chinese"
+
+
+def test_split_text_by_sentence():
+    text = " ".join(f"Sentence number {i} is here." for i in range(40))
+    chunks = split_text_by_sentence(text, 100)
+    assert all(len(c) <= 100 for c in chunks)
+    assert "".join(chunks).replace(" ", "") == text.replace(" ", "")
+
+
+def test_estimate_token_cap():
+    # 10 non-space chars * 2.2 -> 22 -> min clamp 64 -> guard 1.6 -> 103
+    assert estimate_token_cap("[START]abcdefghij[STOP]") == 103
+    long = "x" * 1000
+    assert estimate_token_cap(long) == int(-(-min(1200, 2200) * 1.6 // 1))
+
+
+def test_split_for_low_latency():
+    text = ("A first bit of text, quite short. " + "More text follows. " * 30)
+    chunks = split_for_low_latency(text, first_chunk_chars=40)
+    assert len(chunks[0]) <= 40
+    assert sum(len(c) for c in chunks) >= len(text) * 0.95
+
+
+def test_wav_container():
+    wav = np.sin(np.linspace(0, 100, 2400)).astype(np.float32)
+    data = wav_bytes(wav)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    from scipy.io import wavfile
+    import io
+    sr, decoded = wavfile.read(io.BytesIO(data))
+    assert sr == 24000
+    np.testing.assert_allclose(decoded / 32767.0, np.clip(wav, -1, 1),
+                               atol=1e-3)
+
+
+class FakeTTS:
+    sr = 24000
+
+    def generate(self, prompts, **kw):
+        return [np.zeros(2400, np.float32) for _ in prompts]
+
+
+def test_http_server_roundtrip():
+    from chatterbox_tpu.api.server import TTSService, make_handler
+    from http.server import ThreadingHTTPServer
+
+    service = TTSService(FakeTTS())
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # health
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert json.load(r)["status"] == "ok"
+        # non-streaming wav
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/audio/speech",
+            data=json.dumps({"input": "hi there"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            body = r.read()
+            assert body[:4] == b"RIFF"
+        # streaming pcm
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/audio/speech",
+            data=json.dumps({"input": "hi there", "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            body = r.read()
+            assert len(body) == 4800  # 2400 samples * 2 bytes
+        # error path
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/audio/speech",
+            data=json.dumps({}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+
+
+def test_korean_jamo_decomposition():
+    from chatterbox_tpu.audio.tokenizer import korean_normalize
+    out = korean_normalize("한")
+    assert len(out) == 3          # initial + medial + final jamo
+    assert korean_normalize("abc") == "abc"
+
+
+def test_mtl_preprocess_restores_special_tokens():
+    from chatterbox_tpu.audio.tokenizer import MTLTokenizer
+    # exercise preprocessing logic without a vocab file
+    t = MTLTokenizer.__new__(MTLTokenizer)
+    out = t.preprocess("[START]HeLLo[STOP]")
+    assert out.startswith("[START]") and out.endswith("[STOP]")
+    assert "hello" in out
