@@ -66,6 +66,10 @@ class T3ModelConfig:
     perceiver_n_heads: int = 4
     emotion_adv: bool = True
 
+    # INT8 weight-only trunk (ops/quant.py); halves the dominant per-step
+    # HBM weight read during decode
+    quant_weights: bool = False
+
     @property
     def is_multilingual(self) -> bool:
         return self.text_vocab_size == 2454

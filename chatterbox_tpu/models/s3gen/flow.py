@@ -55,7 +55,7 @@ class CausalFlow(nn.Module):
         h, h_len = self.encoder(emb, token_len)
         return self.encoder_proj(h), h_len
 
-    def estimate_cfg(self, x, mask, mu, t, spks, cond, cfg_rate):
+    def estimate_cfg(self, x, mask, mu, t, spks, cond, cfg_rate, lengths=None):
         """One estimator evaluation with the CFM's internal CFG: lanes
         [cond | uncond] stacked on batch (flow_matching.py:105-126)."""
         B = x.shape[0]
@@ -65,11 +65,13 @@ class CausalFlow(nn.Module):
         t2 = jnp.concatenate([t, t], axis=0)
         spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
         cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
-        v = self.estimator(x2, mask2, mu2, t2, spks2, cond2)
+        len2 = None if lengths is None else jnp.concatenate([lengths, lengths])
+        v = self.estimator(x2, mask2, mu2, t2, spks2, cond2, len2)
         v_cond, v_uncond = v[:B], v[B:]
         return (1.0 + cfg_rate) * v_cond - cfg_rate * v_uncond
 
-    def solve_euler(self, z, mu, mask, spks, cond, n_timesteps: int):
+    def solve_euler(self, z, mu, mask, spks, cond, n_timesteps: int,
+                    lengths=None):
         """Fixed-step Euler ODE solve (flow_matching.py:82-133)."""
         c = self.cfg
         t_span = cosine_t_span(n_timesteps).astype(z.dtype)
@@ -79,13 +81,13 @@ class CausalFlow(nn.Module):
             # estimator evaluation materializes them during init.
             t0 = jnp.zeros((z.shape[0],), z.dtype)
             return z + self.estimate_cfg(z, mask, mu, t0, spks, cond,
-                                         c.inference_cfg_rate) * 0.0
+                                         c.inference_cfg_rate, lengths) * 0.0
 
         def body(i, x):
             t = jnp.broadcast_to(t_span[i], (x.shape[0],))
             dt = t_span[i + 1] - t_span[i]
             v = self.estimate_cfg(x, mask, mu, t, spks, cond,
-                                  c.inference_cfg_rate)
+                                  c.inference_cfg_rate, lengths)
             return (x + dt * v).astype(x.dtype)
 
         return jax.lax.fori_loop(0, n_timesteps, body, z)
@@ -122,7 +124,7 @@ class CausalFlow(nn.Module):
                          pf, 0.0).astype(mu.dtype)
 
         mel = self.solve_euler(noise[:, :F].astype(mu.dtype), mu, mask,
-                               spks, cond, n_timesteps)
+                               spks, cond, n_timesteps, lengths=mel_len)
         return mel, mel_len
 
 

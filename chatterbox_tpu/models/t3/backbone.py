@@ -100,7 +100,10 @@ class RMSNorm(nn.Module):
         return (normed * scale).astype(x.dtype)
 
 
-def _dense(features, name, dtype):
+def _dense(cfg, features, name, dtype):
+    if cfg.quant_weights:
+        from ...ops.quant import QuantDense
+        return QuantDense(features, name=name)
     return nn.Dense(features, use_bias=False, name=name, dtype=dtype,
                     param_dtype=jnp.float32)
 
@@ -112,9 +115,9 @@ class Attention(nn.Module):
         cfg = self.cfg
         B, T, _ = x.shape
         h, kvh, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-        q = _dense(h * d, "q_proj", x.dtype)(x).reshape(B, T, h, d)
-        k = _dense(kvh * d, "k_proj", x.dtype)(x).reshape(B, T, kvh, d)
-        v = _dense(kvh * d, "v_proj", x.dtype)(x).reshape(B, T, kvh, d)
+        q = _dense(cfg, h * d, "q_proj", x.dtype)(x).reshape(B, T, h, d)
+        k = _dense(cfg, kvh * d, "k_proj", x.dtype)(x).reshape(B, T, kvh, d)
+        v = _dense(cfg, kvh * d, "v_proj", x.dtype)(x).reshape(B, T, kvh, d)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
         return q, k, v
@@ -158,7 +161,7 @@ class Attention(nn.Module):
             scores = jnp.where((causal & valid)[:, None], scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
             out = jnp.einsum("bhts,bhsd->bthd", probs, vq).reshape(B, T, -1)
-            return _dense(cfg.hidden_size, "o_proj", x.dtype)(out), kc, vc
+            return _dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out), kc, vc
 
         # ---- decode mode ----
         S = frozen_k.shape[2]
@@ -193,7 +196,7 @@ class Attention(nn.Module):
         pr = (er / denom).astype(x.dtype)
         out = (jnp.einsum("bhts,bhsd->bthd", pf, fv)
                + jnp.einsum("bhtc,bhcd->bthd", pr, rv)).reshape(B, T, -1)
-        return (_dense(cfg.hidden_size, "o_proj", x.dtype)(out),
+        return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
                 new_ring_k, new_ring_v)
 
 
@@ -203,9 +206,9 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        gate = _dense(cfg.intermediate_size, "gate_proj", x.dtype)(x)
-        up = _dense(cfg.intermediate_size, "up_proj", x.dtype)(x)
-        return _dense(cfg.hidden_size, "down_proj", x.dtype)(jax.nn.silu(gate) * up)
+        gate = _dense(cfg, cfg.intermediate_size, "gate_proj", x.dtype)(x)
+        up = _dense(cfg, cfg.intermediate_size, "up_proj", x.dtype)(x)
+        return _dense(cfg, cfg.hidden_size, "down_proj", x.dtype)(jax.nn.silu(gate) * up)
 
 
 class LlamaBlock(nn.Module):

@@ -1,0 +1,107 @@
+"""Pallas flash self-attention (non-causal, key-length masked) for TPU.
+
+Replaces materialized [B, H, T, T] float32 score tensors in the S3Gen CFM
+estimator (56 transformer blocks at T~700 — the softmax traffic dominates the
+whole vocoder) with an online-softmax kernel: scores never leave VMEM.
+
+Contract: q, k, v: [B, H, T, D]; kv_len: [B] valid key count (padded keys are
+masked; padded query rows produce garbage the caller slices off).  Returns
+[B, H, T, D] in q's dtype.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *, bq, bk, scale):
+    ik = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                      # [bq, D]
+    k = k_ref[0]                      # [bk, D]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [bq, bk]
+
+    bh = pl.program_id(0)
+    kv_len = kvlen_ref[bh]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[:, 0][:, None]                            # [bq, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)                                   # [bq, bk]
+    corr = jnp.exp(m_prev - m_new)                           # [bq, 1]
+
+    l_new = l_scr[:, 0][:, None] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scr[:] * corr + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[:] = acc
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] /
+                    jnp.maximum(l_scr[:, 0][:, None], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
+def flash_self_attention(q, k, v, kv_len, bq: int = 128, bk: int = 128,
+                         interpret: bool = False):
+    """q, k, v: [B, H, T, D]; kv_len: [B] int32.  Non-causal, key-masked."""
+    B, H, T, D = q.shape
+    scale = 1.0 / np.sqrt(D)
+    Tp = -(-T // max(bq, bk)) * max(bq, bk)
+    if Tp != T:
+        pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    qf = q.reshape(B * H, Tp, D)
+    kf = k.reshape(B * H, Tp, D)
+    vf = v.reshape(B * H, Tp, D)
+    kvlen_bh = jnp.repeat(kv_len.astype(jnp.int32), H)
+
+    grid = (B * H, Tp // bq, Tp // bk)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, bq=bq, bk=bk, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda bh, iq, ik, *_: (bh, iq, 0)),
+                pl.BlockSpec((1, bk, D), lambda bh, iq, ik, *_: (bh, ik, 0)),
+                pl.BlockSpec((1, bk, D), lambda bh, iq, ik, *_: (bh, ik, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, D), lambda bh, iq, ik, *_: (bh, iq, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, Tp, D), q.dtype),
+        interpret=interpret,
+    )(kvlen_bh, qf, kf, vf)
+    return out.reshape(B, H, Tp, D)[:, :, :T]
