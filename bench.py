@@ -1,9 +1,11 @@
-"""TPU benchmark: T3 batched decode throughput (the reference's headline
-metric — 4,577.88 output tok/s on an RTX 3090, reference README.md:151).
+"""TPU benchmark: end-to-end batched synthesis realtime factor
+(T3 continuous-batching decode + batched S3Gen vocoding on one chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs on the default platform (the real TPU chip under the driver).
-Extra diagnostics go to stderr.
+The reference's headline numbers (README.md:132-156, RTX 3090): 2394 s of
+audio in 74.9 s => ~32x realtime end-to-end; T3 alone 4,577.88 tok/s.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}; per-stage
+diagnostics go to stderr.
 """
 import json
 import sys
@@ -13,7 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_TOK_S = 4577.88  # reference README.md:151 (RTX 3090, v0.1.3)
+BASELINE_E2E_RT = 31.96       # 2394 s audio / 74.9 s (reference README.md:154)
+BASELINE_T3_TOK_S = 4577.88   # reference README.md:151
 
 
 def log(*a):
@@ -21,16 +24,21 @@ def log(*a):
 
 
 def main():
-    from chatterbox_tpu.config import EngineConfig, T3ModelConfig
+    from chatterbox_tpu.config import (EngineConfig, S3GenConfig,
+                                       T3ModelConfig, S3_TOKEN_RATE)
+    from chatterbox_tpu.models.s3gen.flow import fixed_noise
+    from chatterbox_tpu.models.s3gen.s3gen import S3Gen
     from chatterbox_tpu.models.t3.model import T3Model
     from chatterbox_tpu.runtime.engine import T3Engine, Request
 
+    log(f"devices: {jax.devices()}")
+    rng = jax.random.PRNGKey(0)
+    rs = np.random.default_rng(0)
+
+    # ---------------- T3 ----------------
     cfg = T3ModelConfig()
     eng = EngineConfig(max_batch_size=24, max_model_len=576, decode_chunk=32)
     model = T3Model(cfg)
-
-    log(f"devices: {jax.devices()}")
-    rng = jax.random.PRNGKey(0)
     t0 = time.time()
     params = jax.jit(lambda r: model.init(
         r, jnp.zeros((1, cfg.speaker_embed_size)),
@@ -38,18 +46,14 @@ def main():
         jnp.zeros((1, 8), jnp.int32), jnp.full((1,), 8, jnp.int32),
         method=lambda m, *a: m.init_all(*a)))(rng)
     params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 else x, params)
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
     jax.block_until_ready(params)
-    log(f"param init: {time.time() - t0:.1f}s")
+    log(f"T3 param init: {time.time() - t0:.1f}s")
 
     engine = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(1))
 
-    # Workload: 32 requests, ~130 text tokens, up to 400 speech tokens each
-    # (matches the benchmark.py chunking regime: ≤400 chars -> a few hundred
-    # tokens per chunk).
-    rs = np.random.default_rng(0)
-    n_requests = 64
+    n_requests = 48
     reqs = []
     for i in range(n_requests):
         text = rs.integers(1, cfg.text_vocab_size, size=130).astype(np.int32)
@@ -59,31 +63,78 @@ def main():
                             max_new_tokens=400, temperature=0.8,
                             top_p=0.8, uid=i))
 
-    # Warmup: compile prefill + all decode s_active buckets
     t0 = time.time()
     engine.precompile()
     warm = [Request(text_ids=reqs[i].text_ids, cond_emb=reqs[i].cond_emb,
                     max_new_tokens=40, uid=i) for i in range(eng.max_batch_size)]
-    for n in (1, 4, len(warm)):        # cover the prefill m-buckets
+    for n in (1, 4, len(warm)):
         engine.generate(warm[:n])
         engine.reset()
-    log(f"warmup (compile): {time.time() - t0:.1f}s")
+    log(f"T3 warmup: {time.time() - t0:.1f}s")
 
-    engine.reset()
     t0 = time.time()
     results = engine.generate(reqs)
-    dt = time.time() - t0
+    t3_time = time.time() - t0
     total_tokens = sum(len(r.tokens) for r in results)
-    tok_s = total_tokens / dt
-    log(f"decode: {total_tokens} tokens in {dt:.2f}s -> {tok_s:.1f} tok/s")
-    log(f"audio-seconds equivalent: {total_tokens / 25:.1f}s "
-        f"-> {total_tokens / 25 / dt:.1f}x realtime (T3 stage only)")
+    t3_tok_s = total_tokens / t3_time
+    log(f"[T3] {total_tokens} tokens in {t3_time:.2f}s -> {t3_tok_s:.1f} tok/s "
+        f"(baseline {BASELINE_T3_TOK_S}: {t3_tok_s / BASELINE_T3_TOK_S:.3f}x)")
+
+    # ---------------- S3Gen ----------------
+    scfg = S3GenConfig()
+    s3gen = S3Gen(scfg)
+    B, Tp = 8, 100
+    Tg = 400
+    T = Tp + Tg
+    tokens = jnp.zeros((B, T), jnp.int32)
+    token_len = jnp.full((B,), T, jnp.int32)
+    pfeat = jnp.zeros((B, 2 * Tp, scfg.n_mels), jnp.bfloat16)
+    pflen = jnp.full((B,), 2 * Tp, jnp.int32)
+    emb = jnp.zeros((B, scfg.spk_embed_dim), jnp.bfloat16)
+    noise = jnp.broadcast_to(fixed_noise(scfg.n_mels)[:, :2 * T],
+                             (B, 2 * T, scfg.n_mels)).astype(jnp.bfloat16)
+    rngs = jax.random.split(jax.random.PRNGKey(42), B)
+    t0 = time.time()
+    sparams = jax.jit(lambda r: s3gen.init(
+        r, tokens, token_len, pfeat, pflen, emb, noise, rngs,
+        n_timesteps=1))(rng)
+    sparams = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        sparams)
+    jax.block_until_ready(sparams)
+    log(f"S3Gen param init: {time.time() - t0:.1f}s")
+
+    vocode = jax.jit(lambda p, *a: s3gen.apply(p, *a, n_timesteps=10))
+    t0 = time.time()
+    wav, wl = vocode(sparams, tokens, token_len, pfeat, pflen, emb, noise, rngs)
+    _ = np.asarray(wav[0, :4])
+    log(f"S3Gen compile: {time.time() - t0:.1f}s")
+
+    # vocode the generated token volume in batches of 8
+    n_batches = -(-n_requests // B)
+    t0 = time.time()
+    for _ in range(n_batches):
+        wav, wl = vocode(sparams, tokens, token_len, pfeat, pflen, emb,
+                         noise, rngs)
+        _ = np.asarray(wav[0, :4])
+    s3_time = time.time() - t0
+    s3_audio = n_batches * B * Tg / S3_TOKEN_RATE
+    log(f"[S3Gen] {s3_audio:.0f}s audio in {s3_time:.2f}s "
+        f"-> {s3_audio / s3_time:.1f}x RT")
+
+    # ---------------- end-to-end ----------------
+    audio_s = total_tokens / S3_TOKEN_RATE
+    # scale S3Gen time to the actual generated token volume
+    s3_time_scaled = s3_time * (total_tokens / (n_batches * B * Tg))
+    e2e_rt = audio_s / (t3_time + s3_time_scaled)
+    log(f"[E2E] {audio_s:.0f}s audio in {t3_time + s3_time_scaled:.1f}s "
+        f"-> {e2e_rt:.1f}x realtime per chip")
 
     print(json.dumps({
-        "metric": "t3_batched_decode_throughput",
-        "value": round(tok_s, 2),
-        "unit": "speech_tokens/s/chip",
-        "vs_baseline": round(tok_s / BASELINE_TOK_S, 4),
+        "metric": "e2e_batched_synthesis_realtime_factor",
+        "value": round(e2e_rt, 2),
+        "unit": "audio_seconds/second/chip",
+        "vs_baseline": round(e2e_rt / BASELINE_E2E_RT, 4),
     }))
 
 

@@ -143,12 +143,6 @@ class T3Engine:
             params=SamplingParams.full(B),
             sampler=SamplerState.init(B, cfgm.speech_vocab_size, sub),
         )
-        self.free_slots = list(range(B))
-        self.slot_uid = [None] * B
-        # host-side upper bound on any slot's cache position (avoids a device
-        # fetch per chunk when picking the s_active bucket)
-        self._pos_upper = 0
-        self._slot_pos_cap = [0] * B
 
     # ------------------------------------------------------------------
     # Prefill path
@@ -285,30 +279,30 @@ class T3Engine:
         return frozen, st
 
     # ------------------------------------------------------------------
-    # Orchestration
+    # Orchestration (request queue / slot map / waves live in the native
+    # C++ scheduler; runtime/native.py falls back to Python if unbuilt)
     # ------------------------------------------------------------------
     def generate(self, requests: List[Request], progress: bool = False) -> List[Result]:
         """Run all requests to completion with continuous slot refill."""
-        pending = sorted(range(len(requests)),
-                         key=lambda i: len(requests[i].text_ids))
-        results: dict = {}
+        from .native import NativeScheduler
         eng = self.eng
+        sched = NativeScheduler(self.B, self.S)
+        for i, r in enumerate(requests):
+            sched.add_request(i, self.cfg.cond_len + len(r.text_ids) + 1,
+                              r.max_new_tokens)
+        results: dict = {}
 
-        while pending or any(self.slot_uid[i] is not None for i in range(self.B)):
-            # --- admission (hysteresis: wait for a meaningful batch of free
-            # slots so prefill launches stay in a small set of compiled
-            # bucket shapes) ---
-            min_wave = min(len(pending), max(1, self.B // 4)) if pending else 0
-            while pending and len(self.free_slots) >= max(1, min_wave):
-                take = min(len(self.free_slots), len(pending), self.B)
-                batch_idx = [pending.pop(0) for _ in range(take)]
-                self._admit([requests[i] for i in batch_idx], batch_idx)
+        while sched.pending_count() or sched.active_count():
+            # --- admission (scheduler applies wave hysteresis so prefill
+            # launches stay in a small set of compiled bucket shapes) ---
+            while True:
+                slots, uids = sched.admit(self.B)
+                if not slots:
+                    break
+                self._admit([requests[u] for u in uids], slots)
 
             # --- decode ---
-            self._slot_pos_cap = [
-                min(self.S, c + eng.decode_chunk) if self.slot_uid[i] is not None
-                else 0 for i, c in enumerate(self._slot_pos_cap)]
-            s_active = self._s_bucket(max(self._slot_pos_cap, default=0))
+            s_active = self._s_bucket(max(sched.advance(eng.decode_chunk), 1))
             self.cache, self.state = self._decode_chunk(
                 self.params, self.cache, self.state,
                 n_steps=eng.decode_chunk, s_active=s_active)
@@ -316,29 +310,24 @@ class T3Engine:
             # --- harvest ---
             done = np.asarray(self.state.done)
             active = np.asarray(self.state.active)
-            finished = [i for i in range(self.B)
-                        if active[i] and done[i] and self.slot_uid[i] is not None]
-            if finished:
+            fslots, fuids = sched.harvest((done & active).astype(np.uint8))
+            if fslots:
                 n_gen = np.asarray(self.state.n_generated)
                 out = np.asarray(self.state.out_buf)
-                for slot in finished:
-                    ridx = self.slot_uid[slot]
+                for slot, ridx in zip(fslots, fuids):
                     toks = out[slot, : n_gen[slot]]
                     by_stop = bool(len(toks) and toks[-1] == self.cfg.stop_speech_token)
                     results[ridx] = Result(
                         uid=requests[ridx].uid, tokens=toks,
                         finished_by_stop=by_stop)
-                    self.slot_uid[slot] = None
-                    self.free_slots.append(slot)
-                    self._slot_pos_cap[slot] = 0
-                    self.state = self.state._replace(
-                        active=self.state.active.at[slot].set(False))
+                self.state = self.state._replace(
+                    active=self.state.active.at[np.asarray(fslots)].set(False))
                 if progress:
                     print(f"[engine] {len(results)}/{len(requests)} done")
 
         return [results[i] for i in range(len(requests))]
 
-    def _admit(self, reqs: List[Request], ridxs: List[int]):
+    def _admit(self, reqs: List[Request], slots: List[int]):
         eng = self.eng
         m = len(reqs)
         # keep prefill compile shapes to a small set: m in {1, 4, B}
@@ -373,11 +362,6 @@ class T3Engine:
         self.rng, sub = jax.random.split(self.rng)
         first_tokens, _ = sample_step(
             logits, sp, SamplerState.init(m_bucket, self.cfg.speech_vocab_size, sub))
-
-        slots = [self.free_slots.pop(0) for _ in range(m)]
-        for j, (s, ridx) in enumerate(zip(slots, ridxs)):
-            self.slot_uid[s] = ridx
-            self._slot_pos_cap[s] = self.cfg.cond_len + len(reqs[j].text_ids) + 1
 
         self.rng, chunk_rng = jax.random.split(self.rng)
         sel = np.arange(m)

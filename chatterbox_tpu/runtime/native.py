@@ -1,0 +1,163 @@
+"""ctypes bindings for the native scheduler/allocator (native/scheduler.cc).
+
+Builds the shared library on first use if g++ is available; falls back to a
+pure-Python implementation with the same interface otherwise (hermetic CI).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libchatterbox_sched.so"
+_lib = None
+_lib_tried = False
+
+
+def _load_lib():
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    try:
+        if not _LIB_PATH.exists():
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.sched_create.restype = ctypes.c_void_p
+        lib.sched_create.argtypes = [ctypes.c_int32, ctypes.c_int32]
+        lib.sched_destroy.argtypes = [ctypes.c_void_p]
+        lib.sched_add_request.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                          ctypes.c_int32, ctypes.c_int32]
+        lib.sched_pending_count.argtypes = [ctypes.c_void_p]
+        lib.sched_pending_count.restype = ctypes.c_int32
+        lib.sched_free_count.argtypes = [ctypes.c_void_p]
+        lib.sched_free_count.restype = ctypes.c_int32
+        lib.sched_active_count.argtypes = [ctypes.c_void_p]
+        lib.sched_active_count.restype = ctypes.c_int32
+        lib.sched_admit.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32]
+        lib.sched_admit.restype = ctypes.c_int32
+        lib.sched_advance.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.sched_advance.restype = ctypes.c_int32
+        lib.sched_harvest.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32]
+        lib.sched_harvest.restype = ctypes.c_int32
+        _lib = lib
+    except Exception as e:  # pragma: no cover - toolchain-dependent
+        print(f"[native] falling back to python scheduler ({e})")
+        _lib = None
+    return _lib
+
+
+class NativeScheduler:
+    """Continuous-batching request scheduler (C++ core when available)."""
+
+    def __init__(self, n_slots: int, max_model_len: int):
+        self.n_slots = n_slots
+        self.max_model_len = max_model_len
+        self._lib = _load_lib()
+        if self._lib is not None:
+            self._h = self._lib.sched_create(n_slots, max_model_len)
+        else:
+            self._pending: List[Tuple[int, int, int]] = []
+            self._slots = [None] * n_slots          # uid or None
+            self._pos_cap = [0] * n_slots
+            self._free = list(range(n_slots))[::-1]
+
+    # -- shared interface --------------------------------------------------
+    def add_request(self, uid: int, prompt_len: int, max_new: int):
+        if self._lib is not None:
+            self._lib.sched_add_request(self._h, uid, prompt_len, max_new)
+        else:
+            import bisect
+            keys = [p for p, _, _ in self._pending]
+            i = bisect.bisect_left(keys, prompt_len)
+            self._pending.insert(i, (prompt_len, uid, max_new))
+
+    def pending_count(self) -> int:
+        if self._lib is not None:
+            return self._lib.sched_pending_count(self._h)
+        return len(self._pending)
+
+    def free_count(self) -> int:
+        if self._lib is not None:
+            return self._lib.sched_free_count(self._h)
+        return len(self._free)
+
+    def active_count(self) -> int:
+        if self._lib is not None:
+            return self._lib.sched_active_count(self._h)
+        return sum(1 for s in self._slots if s is not None)
+
+    def admit(self, cap: int):
+        """Returns (slots, uids) for the admitted wave (possibly empty)."""
+        if self._lib is not None:
+            slots = (ctypes.c_int32 * cap)()
+            uids = (ctypes.c_int64 * cap)()
+            plens = (ctypes.c_int32 * cap)()
+            n = self._lib.sched_admit(self._h, slots, uids, plens, cap)
+            return list(slots[:n]), list(uids[:n])
+        if not self._pending:
+            return [], []
+        min_wave = min(len(self._pending), max(1, self.n_slots // 4))
+        if len(self._free) < min_wave:
+            return [], []
+        take = min(len(self._free), len(self._pending), cap)
+        out_s, out_u = [], []
+        for _ in range(take):
+            plen, uid, _mx = self._pending.pop(0)
+            slot = self._free.pop()
+            self._slots[slot] = uid
+            self._pos_cap[slot] = plen
+            out_s.append(slot)
+            out_u.append(uid)
+        return out_s, out_u
+
+    def advance(self, n_steps: int) -> int:
+        """Advance position caps by a decode chunk; returns global upper."""
+        if self._lib is not None:
+            return self._lib.sched_advance(self._h, n_steps)
+        upper = 0
+        for i in range(self.n_slots):
+            if self._slots[i] is not None:
+                self._pos_cap[i] = min(self.max_model_len,
+                                       self._pos_cap[i] + n_steps)
+                upper = max(upper, self._pos_cap[i])
+        return upper
+
+    def harvest(self, done_flags: np.ndarray):
+        """Free slots flagged done; returns (slots, uids)."""
+        if self._lib is not None:
+            flags = np.ascontiguousarray(done_flags, np.uint8)
+            slots = (ctypes.c_int32 * self.n_slots)()
+            uids = (ctypes.c_int64 * self.n_slots)()
+            n = self._lib.sched_harvest(
+                self._h, flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                slots, uids, self.n_slots)
+            return list(slots[:n]), list(uids[:n])
+        out_s, out_u = [], []
+        for i in range(self.n_slots):
+            if self._slots[i] is not None and done_flags[i]:
+                out_s.append(i)
+                out_u.append(self._slots[i])
+                self._slots[i] = None
+                self._pos_cap[i] = 0
+                self._free.append(i)
+        return out_s, out_u
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None:
+            try:
+                self._lib.sched_destroy(self._h)
+            except Exception:
+                pass

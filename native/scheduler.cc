@@ -1,0 +1,182 @@
+// Native continuous-batching scheduler + paged-KV block allocator.
+//
+// TPU-native counterpart of the engine-side native code the reference gets
+// from the vLLM wheel (C++ scheduler / block manager; SURVEY §2.10).  The
+// device compute path stays in XLA/Pallas; this library owns the host-side
+// hot bookkeeping: request queue, slot map, admission waves, per-slot
+// position tracking (feeding the s_active bucket choice) and a block
+// allocator for paged-KV layouts.
+//
+// C ABI for ctypes (chatterbox_tpu/runtime/native.py).  Build: native/Makefile.
+
+#include <algorithm>
+#include <cstdint>
+#include <deque>
+#include <vector>
+
+namespace {
+
+struct Request {
+  int64_t uid;
+  int32_t prompt_len;
+  int32_t max_new;
+};
+
+struct Slot {
+  bool active = false;
+  int64_t uid = -1;
+  int32_t pos_cap = 0;  // upper bound on cache position
+};
+
+struct Scheduler {
+  int32_t n_slots;
+  int32_t max_model_len;
+  std::vector<Slot> slots;
+  std::vector<int32_t> free_slots;
+  std::deque<Request> pending;  // kept sorted by prompt_len on insert
+
+  explicit Scheduler(int32_t n, int32_t len) : n_slots(n), max_model_len(len) {
+    slots.resize(n);
+    for (int32_t i = n - 1; i >= 0; --i) free_slots.push_back(i);
+  }
+};
+
+struct BlockAllocator {
+  int32_t n_blocks;
+  int32_t block_size;
+  std::vector<int32_t> free_list;
+
+  BlockAllocator(int32_t n, int32_t bs) : n_blocks(n), block_size(bs) {
+    free_list.reserve(n);
+    for (int32_t i = n - 1; i >= 0; --i) free_list.push_back(i);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------- scheduler
+void* sched_create(int32_t n_slots, int32_t max_model_len) {
+  return new Scheduler(n_slots, max_model_len);
+}
+
+void sched_destroy(void* h) { delete static_cast<Scheduler*>(h); }
+
+// Insert a request keeping the pending queue sorted by prompt_len
+// (shortest-first waves minimize padding within a prefill bucket).
+void sched_add_request(void* h, int64_t uid, int32_t prompt_len,
+                       int32_t max_new) {
+  auto* s = static_cast<Scheduler*>(h);
+  Request r{uid, prompt_len, max_new};
+  auto it = std::lower_bound(
+      s->pending.begin(), s->pending.end(), r,
+      [](const Request& a, const Request& b) {
+        return a.prompt_len < b.prompt_len;
+      });
+  s->pending.insert(it, r);
+}
+
+int32_t sched_pending_count(void* h) {
+  return static_cast<int32_t>(static_cast<Scheduler*>(h)->pending.size());
+}
+
+int32_t sched_free_count(void* h) {
+  return static_cast<int32_t>(static_cast<Scheduler*>(h)->free_slots.size());
+}
+
+int32_t sched_active_count(void* h) {
+  auto* s = static_cast<Scheduler*>(h);
+  int32_t n = 0;
+  for (const auto& sl : s->slots) n += sl.active ? 1 : 0;
+  return n;
+}
+
+// Admission with hysteresis: admit a wave only when enough slots are free
+// (min_wave = min(pending, n_slots/4)), to keep prefill launches in a small
+// set of compiled shapes.  Fills out_* arrays; returns the wave size.
+int32_t sched_admit(void* h, int32_t* out_slots, int64_t* out_uids,
+                    int32_t* out_prompt_lens, int32_t cap) {
+  auto* s = static_cast<Scheduler*>(h);
+  if (s->pending.empty()) return 0;
+  int32_t min_wave = std::min<int32_t>(
+      static_cast<int32_t>(s->pending.size()),
+      std::max<int32_t>(1, s->n_slots / 4));
+  if (static_cast<int32_t>(s->free_slots.size()) < min_wave) return 0;
+
+  int32_t take = std::min<int32_t>(
+      {static_cast<int32_t>(s->free_slots.size()),
+       static_cast<int32_t>(s->pending.size()), cap});
+  for (int32_t j = 0; j < take; ++j) {
+    Request r = s->pending.front();
+    s->pending.pop_front();
+    int32_t slot = s->free_slots.back();
+    s->free_slots.pop_back();
+    s->slots[slot] = {true, r.uid, r.prompt_len};
+    out_slots[j] = slot;
+    out_uids[j] = r.uid;
+    out_prompt_lens[j] = r.prompt_len;
+  }
+  return take;
+}
+
+// Advance per-slot position upper bounds by one decode chunk; returns the
+// global upper bound (for the s_active length bucket).
+int32_t sched_advance(void* h, int32_t n_steps) {
+  auto* s = static_cast<Scheduler*>(h);
+  int32_t upper = 0;
+  for (auto& sl : s->slots) {
+    if (!sl.active) continue;
+    sl.pos_cap = std::min(s->max_model_len, sl.pos_cap + n_steps);
+    upper = std::max(upper, sl.pos_cap);
+  }
+  return upper;
+}
+
+// Free finished slots (done_flags: one byte per slot).  Fills the freed
+// slots/uids; returns the count.
+int32_t sched_harvest(void* h, const uint8_t* done_flags, int32_t* out_slots,
+                      int64_t* out_uids, int32_t cap) {
+  auto* s = static_cast<Scheduler*>(h);
+  int32_t n = 0;
+  for (int32_t i = 0; i < s->n_slots && n < cap; ++i) {
+    if (s->slots[i].active && done_flags[i]) {
+      out_slots[n] = i;
+      out_uids[n] = s->slots[i].uid;
+      ++n;
+      s->slots[i] = Slot{};
+      s->free_slots.push_back(i);
+    }
+  }
+  return n;
+}
+
+// ---------------------------------------------------------- block allocator
+void* blockalloc_create(int32_t n_blocks, int32_t block_size) {
+  return new BlockAllocator(n_blocks, block_size);
+}
+
+void blockalloc_destroy(void* h) { delete static_cast<BlockAllocator*>(h); }
+
+int32_t blockalloc_free_count(void* h) {
+  return static_cast<int32_t>(
+      static_cast<BlockAllocator*>(h)->free_list.size());
+}
+
+// Allocate n blocks into out_ids; returns n on success, 0 if insufficient.
+int32_t blockalloc_alloc(void* h, int32_t n, int32_t* out_ids) {
+  auto* a = static_cast<BlockAllocator*>(h);
+  if (static_cast<int32_t>(a->free_list.size()) < n) return 0;
+  for (int32_t i = 0; i < n; ++i) {
+    out_ids[i] = a->free_list.back();
+    a->free_list.pop_back();
+  }
+  return n;
+}
+
+void blockalloc_free(void* h, const int32_t* ids, int32_t n) {
+  auto* a = static_cast<BlockAllocator*>(h);
+  for (int32_t i = 0; i < n; ++i) a->free_list.push_back(ids[i]);
+}
+
+}  // extern "C"
