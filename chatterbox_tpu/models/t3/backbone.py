@@ -67,25 +67,58 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray) ->
 @dataclasses.dataclass
 class KVCache:
     """Stacked KV buffers: k/v are [n_layers, B, n_kv, T, head_dim]
-    (head-major so the decode contraction reads unit-stride S x D)."""
+    (head-major so the decode contraction reads unit-stride S x D).
+
+    Optional int8 mode: k/v stored int8 with per-(layer, lane, head, pos)
+    float32 scales — halves the dominant decode HBM read; dequant folds into
+    the attention einsums (scale is per key position, so it factors out)."""
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None   # [L, B, H, T] when int8
+    v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
     def zeros(cls, cfg: T3ModelConfig, batch: int, length: int, dtype=jnp.bfloat16):
         shape = (cfg.n_layers, batch, cfg.n_kv_heads, length, cfg.head_dim)
+        if dtype == jnp.int8:
+            return cls(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                       v_scale=jnp.zeros(shape[:-1], jnp.float32))
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def length(self) -> int:
         return self.k.shape[3]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
-jax.tree_util.register_pytree_node(
-    KVCache,
-    lambda c: ((c.k, c.v), None),
-    lambda _, kv: KVCache(k=kv[0], v=kv[1]),
-)
+
+def _kv_flatten(c: KVCache):
+    if c.k_scale is None:
+        return (c.k, c.v), False
+    return (c.k, c.v, c.k_scale, c.v_scale), True
+
+
+def _kv_unflatten(quant, leaves):
+    if quant:
+        return KVCache(k=leaves[0], v=leaves[1], k_scale=leaves[2],
+                       v_scale=leaves[3])
+    return KVCache(k=leaves[0], v=leaves[1])
+
+
+jax.tree_util.register_pytree_node(KVCache, _kv_flatten, _kv_unflatten)
+
+
+def quantize_kv(x: jnp.ndarray):
+    """[..., T, D] float -> (int8 values, [..., T] scales)."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1), 1e-8)
+    scale = amax / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 class RMSNorm(nn.Module):
@@ -131,7 +164,8 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, positions, valid_len, inv_freq,
                  frozen_k=None, frozen_v=None, frozen_len=None,
-                 ring_k=None, ring_v=None, ring_idx=None):
+                 ring_k=None, ring_v=None, ring_idx=None,
+                 frozen_k_scale=None, frozen_v_scale=None):
         """Two modes:
 
         Block mode (frozen_k is None): self-attention within the block with
@@ -175,9 +209,14 @@ class Attention(nn.Module):
 
         fk, fv = self._repeat_kv(frozen_k), self._repeat_kv(frozen_v)
         rk, rv = self._repeat_kv(new_ring_k), self._repeat_kv(new_ring_v)
+        if frozen_k_scale is not None:
+            fk = fk.astype(x.dtype)   # int8 -> compute dtype (fused read)
+            fv = fv.astype(x.dtype)
 
         sf = jnp.einsum("bthd,bhsd->bhts", q, fk,
                         preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(d))
+        if frozen_k_scale is not None:
+            sf = sf * self._repeat_kv(frozen_k_scale)[:, :, None, :]
         sr = jnp.einsum("bthd,bhcd->bhtc", q, rk,
                         preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(d))
 
@@ -192,8 +231,12 @@ class Attention(nn.Module):
         ef = jnp.exp(sf - m)
         er = jnp.exp(sr - m)
         denom = jnp.sum(ef, axis=-1, keepdims=True) + jnp.sum(er, axis=-1, keepdims=True)
-        pf = (ef / denom).astype(x.dtype)
+        pf = ef / denom
         pr = (er / denom).astype(x.dtype)
+        if frozen_v_scale is not None:
+            # fold the per-position dequant scale into the probabilities
+            pf = pf * self._repeat_kv(frozen_v_scale)[:, :, None, :]
+        pf = pf.astype(x.dtype)
         out = (jnp.einsum("bhts,bhsd->bthd", pf, fv)
                + jnp.einsum("bhtc,bhcd->bthd", pr, rv)).reshape(B, T, -1)
         return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
@@ -224,11 +267,12 @@ class LlamaBlock(nn.Module):
             out, kc, vc = attn(attn_in, positions, valid_len, inv_freq)
             kv_out = (kc, vc)
         else:
-            fk, fv, rk, rv = layer_kv
+            fk, fv, fks, fvs, rk, rv = layer_kv
             out, nrk, nrv = attn(attn_in, positions, valid_len, inv_freq,
                                  frozen_k=fk, frozen_v=fv,
                                  frozen_len=valid_len,
-                                 ring_k=rk, ring_v=rv, ring_idx=ring_idx)
+                                 ring_k=rk, ring_v=rv, ring_idx=ring_idx,
+                                 frozen_k_scale=fks, frozen_v_scale=fvs)
             kv_out = (nrk, nrv)
         x = x + out
         x = x + MLP(self.cfg, name="mlp")(
@@ -269,7 +313,8 @@ class LlamaBackbone(nn.Module):
             return x, KVCache(k=ks, v=vs)
 
         x, (nrk, nrv) = scan(cfg, name="layers")(
-            embeds, (frozen.k, frozen.v, ring.k, ring.v),
+            embeds, (frozen.k, frozen.v, frozen.k_scale, frozen.v_scale,
+                     ring.k, ring.v),
             positions, valid_len, inv_freq, ring_idx)
         x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
         return x, KVCache(k=nrk, v=nrv)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import T3ModelConfig, EngineConfig
-from ..models.t3.backbone import KVCache
+from ..models.t3.backbone import KVCache, quantize_kv
 from ..models.t3.model import T3Model
 from ..ops.sampling import SamplerState, SamplingParams, sample_step
 
@@ -80,17 +80,22 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 def _merge_ring(frozen, ring, g0, n_new):
-    """Merge ring [L, B2, H, C, D] into frozen [L, B2, H, S, D]: for lane b,
-    ring[c] -> frozen[g0[b] + c] for c < n_new[b]."""
+    """Merge ring [L, B2, H, C, ...] into frozen [L, B2, H, S, ...] on axis 3:
+    for lane b, ring[c] -> frozen[g0[b] + c] for c < n_new[b].  Works for 5-D
+    value arrays and 4-D scale arrays."""
     S = frozen.shape[3]
     C = ring.shape[3]
     s = jnp.arange(S)[None, :]
     c = s - g0[:, None]                             # [B2, S]
     use = (c >= 0) & (c < n_new[:, None])
     cidx = jnp.clip(c, 0, C - 1)
-    gathered = jnp.take_along_axis(
-        ring, cidx[None, :, None, :, None], axis=3)
-    return jnp.where(use[None, :, None, :, None], gathered, frozen)
+    idx = cidx[None, :, None, :]
+    usex = use[None, :, None, :]
+    for _ in range(frozen.ndim - 4):
+        idx = idx[..., None]
+        usex = usex[..., None]
+    gathered = jnp.take_along_axis(ring, idx, axis=3)
+    return jnp.where(usex, gathered.astype(frozen.dtype), frozen)
 
 
 class T3Engine:
@@ -106,8 +111,10 @@ class T3Engine:
         self.S = eng.max_model_len
         self.max_out = eng.tokens_max + 8
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self._kv_dtype = {"bfloat16": jnp.bfloat16,
-                          "float32": jnp.float32}.get(eng.kv_dtype, jnp.bfloat16)
+        self._kv_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                          "int8": jnp.int8}.get(eng.kv_dtype, jnp.bfloat16)
+        self._ring_dtype = (jnp.bfloat16 if self._kv_dtype == jnp.int8
+                            else self._kv_dtype)
 
         # Invalid-id mask: only real codes and EOS are sampleable (the
         # reference samples anything then drops invalid ids, tts.py:463-465;
@@ -174,8 +181,18 @@ class T3Engine:
         m = slot_ids.shape[0]
         P = pre_k.shape[3]
         lane_ids = jnp.stack([slot_ids * 2, slot_ids * 2 + 1], axis=1).reshape(-1)
-        k = cache.k.at[:, lane_ids, :, :P].set(pre_k.astype(cache.k.dtype))
-        v = cache.v.at[:, lane_ids, :, :P].set(pre_v.astype(cache.v.dtype))
+        if cache.quantized:
+            kq, ks = quantize_kv(pre_k)
+            vq, vs = quantize_kv(pre_v)
+            new_cache = KVCache(
+                k=cache.k.at[:, lane_ids, :, :P].set(kq),
+                v=cache.v.at[:, lane_ids, :, :P].set(vq),
+                k_scale=cache.k_scale.at[:, lane_ids, :, :P].set(ks),
+                v_scale=cache.v_scale.at[:, lane_ids, :, :P].set(vs))
+        else:
+            new_cache = KVCache(
+                k=cache.k.at[:, lane_ids, :, :P].set(pre_k.astype(cache.k.dtype)),
+                v=cache.v.at[:, lane_ids, :, :P].set(pre_v.astype(cache.v.dtype)))
 
         sid = slot_ids
         st = st._replace(
@@ -199,7 +216,7 @@ class T3Engine:
                 rng=first_rng,
             ),
         )
-        return KVCache(k=k, v=v), st
+        return new_cache, st
 
     def _s_bucket(self, pos: int) -> int:
         return max(128, min(self.S, -(-pos // 128) * 128))
@@ -221,12 +238,17 @@ class T3Engine:
     def _decode_chunk_impl(self, params, frozen: KVCache, st: SlotState, *,
                            n_steps: int, s_active: int):
         g0 = st.global_pos                       # frozen length per slot
-        ring = KVCache.zeros(self.cfg, 2 * self.B, n_steps, frozen.k.dtype)
+        ring = KVCache.zeros(self.cfg, 2 * self.B, n_steps, self._ring_dtype)
         # Attention only reads the live prefix of the frozen cache —
         # s_active is bucketed by the engine so early decode steps don't
         # stream the whole max_model_len cache.
-        fro = KVCache(k=frozen.k[:, :, :, :s_active],
-                      v=frozen.v[:, :, :, :s_active])
+        fro = KVCache(
+            k=frozen.k[:, :, :, :s_active],
+            v=frozen.v[:, :, :, :s_active],
+            k_scale=None if frozen.k_scale is None
+            else frozen.k_scale[:, :, :, :s_active],
+            v_scale=None if frozen.v_scale is None
+            else frozen.v_scale[:, :, :, :s_active])
 
         def step(carry, c):
             ring, st = carry
@@ -273,9 +295,18 @@ class T3Engine:
         n_new = st.global_pos - g0
         g0_l = jnp.repeat(g0, 2)
         n_l = jnp.repeat(n_new, 2)
-        frozen = KVCache(
-            k=_merge_ring(frozen.k, ring.k, g0_l, n_l),
-            v=_merge_ring(frozen.v, ring.v, g0_l, n_l))
+        if frozen.quantized:
+            rkq, rks = quantize_kv(ring.k)
+            rvq, rvs = quantize_kv(ring.v)
+            frozen = KVCache(
+                k=_merge_ring(frozen.k, rkq, g0_l, n_l),
+                v=_merge_ring(frozen.v, rvq, g0_l, n_l),
+                k_scale=_merge_ring(frozen.k_scale, rks, g0_l, n_l),
+                v_scale=_merge_ring(frozen.v_scale, rvs, g0_l, n_l))
+        else:
+            frozen = KVCache(
+                k=_merge_ring(frozen.k, ring.k, g0_l, n_l),
+                v=_merge_ring(frozen.v, ring.v, g0_l, n_l))
         return frozen, st
 
     # ------------------------------------------------------------------

@@ -50,3 +50,33 @@ def test_quantized_t3_matches_fp32_closely():
     assert corr > 0.999, corr
     assert np.argmax(np.asarray(ref), -1).tolist() == \
         np.argmax(np.asarray(out), -1).tolist()
+
+
+def test_int8_kv_engine_runs():
+    from chatterbox_tpu.config import EngineConfig
+    from chatterbox_tpu.runtime.engine import Request, T3Engine
+    cfg = T3ModelConfig.tiny()
+    model = T3Model(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, cfg.speaker_embed_size)),
+        jnp.zeros((1, 4), jnp.int32), 0.5 * jnp.ones((1, 1)),
+        jnp.zeros((1, 4), jnp.int32), jnp.full((1,), 4, jnp.int32),
+        method=lambda m, *a: m.init_all(*a)))(rng)
+    eng = EngineConfig(max_batch_size=2, max_model_len=96, decode_chunk=4,
+                       prefill_buckets=(8, 16), tokens_max=16,
+                       kv_dtype="int8")
+    engine = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(7))
+    rs = np.random.default_rng(0)
+    reqs = [Request(
+        text_ids=rs.integers(0, cfg.text_vocab_size, size=6).astype(np.int32),
+        cond_emb=rs.standard_normal(
+            (cfg.cond_len, cfg.hidden_size)).astype(np.float32),
+        max_new_tokens=8, temperature=0.0, uid=i) for i in range(3)]
+    results = engine.generate(reqs)
+    assert len(results) == 3
+    for r in results:
+        assert 1 <= len(r.tokens) <= 8
+        valid = (r.tokens < cfg.start_speech_token) | \
+            (r.tokens == cfg.stop_speech_token)
+        assert valid.all()
