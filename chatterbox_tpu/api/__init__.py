@@ -1,0 +1,2 @@
+from .tts import ChatterboxTTS, Conditionals
+from .wrapper import ChatterboxMultilingualTTS, ChatterboxTPUWrapper

@@ -56,6 +56,7 @@ class Result:
     uid: Any
     tokens: np.ndarray                   # generated speech tokens incl. EOS if emitted
     finished_by_stop: bool
+    ttft_s: float = 0.0                  # submit -> first token (prefill done)
 
 
 class SlotState(NamedTuple):
@@ -318,10 +319,12 @@ class T3Engine:
         from .native import NativeScheduler
         eng = self.eng
         sched = NativeScheduler(self.B, self.S)
+        t_start = time.time()
         for i, r in enumerate(requests):
             sched.add_request(i, self.cfg.cond_len + len(r.text_ids) + 1,
                               r.max_new_tokens)
         results: dict = {}
+        self._ttft = {}
 
         while sched.pending_count() or sched.active_count():
             # --- admission (scheduler applies wave hysteresis so prefill
@@ -331,6 +334,9 @@ class T3Engine:
                 if not slots:
                     break
                 self._admit([requests[u] for u in uids], slots)
+                now = time.time() - t_start
+                for u in uids:
+                    self._ttft[u] = now
 
             # --- decode ---
             s_active = self._s_bucket(max(sched.advance(eng.decode_chunk), 1))
@@ -350,7 +356,8 @@ class T3Engine:
                     by_stop = bool(len(toks) and toks[-1] == self.cfg.stop_speech_token)
                     results[ridx] = Result(
                         uid=requests[ridx].uid, tokens=toks,
-                        finished_by_stop=by_stop)
+                        finished_by_stop=by_stop,
+                        ttft_s=self._ttft.get(ridx, 0.0))
                 self.state = self.state._replace(
                     active=self.state.active.at[np.asarray(fslots)].set(False))
                 if progress:

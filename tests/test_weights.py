@@ -103,3 +103,18 @@ def test_t3_converter_tree_matches_init():
         method=lambda m, *a: m.encode_conditionals(*a)))(conv)
     assert out.shape == (B, cfg.cond_len, cfg.hidden_size)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from chatterbox_tpu.utils.checkpoint import (flatten_tree, load_params,
+                                                 save_params, unflatten_tree)
+    tree = {"a": {"b": np.ones((2, 3)), "c": {"d": np.zeros(4)}},
+            "e": np.arange(5)}
+    flat = flatten_tree(tree)
+    assert set(flat) == {"a::b", "a::c::d", "e"}
+    assert unflatten_tree(flat)["a"]["c"]["d"].shape == (4,)
+    p = tmp_path / "ckpt.npz"
+    save_params(str(p), tree)
+    back = load_params(str(p))
+    np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
+    np.testing.assert_array_equal(back["e"], tree["e"])
