@@ -35,21 +35,27 @@ def main():
     rng = jax.random.PRNGKey(0)
     rs = np.random.default_rng(0)
 
-    # ---------------- T3 ----------------
-    cfg = T3ModelConfig()
-    eng = EngineConfig(max_batch_size=24, max_model_len=576, decode_chunk=32)
+    # ---------------- T3 (INT8 weights + INT8 KV) ----------------
+    import dataclasses
+    from chatterbox_tpu.ops.quant import quantize_t3_params
+    base_cfg = T3ModelConfig()
+    cfg = dataclasses.replace(base_cfg, quant_weights=True)
+    eng = EngineConfig(max_batch_size=24, max_model_len=576, decode_chunk=32,
+                      kv_dtype="int8")
+    base_model = T3Model(base_cfg)
     model = T3Model(cfg)
     t0 = time.time()
-    params = jax.jit(lambda r: model.init(
+    params = jax.jit(lambda r: base_model.init(
         r, jnp.zeros((1, cfg.speaker_embed_size)),
         jnp.zeros((1, 4), jnp.int32), 0.5 * jnp.ones((1, 1)),
         jnp.zeros((1, 8), jnp.int32), jnp.full((1,), 8, jnp.int32),
         method=lambda m, *a: m.init_all(*a)))(rng)
+    params = quantize_t3_params(jax.tree.map(np.asarray, params))
     params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        params)
+        lambda x: jnp.asarray(x).astype(jnp.bfloat16)
+        if jnp.asarray(x).dtype == jnp.float32 else jnp.asarray(x), params)
     jax.block_until_ready(params)
-    log(f"T3 param init: {time.time() - t0:.1f}s")
+    log(f"T3 param init+quant: {time.time() - t0:.1f}s")
 
     engine = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(1))
 
@@ -77,13 +83,15 @@ def main():
     t3_time = time.time() - t0
     total_tokens = sum(len(r.tokens) for r in results)
     t3_tok_s = total_tokens / t3_time
+    ttfts = sorted(r.ttft_s for r in results)
     log(f"[T3] {total_tokens} tokens in {t3_time:.2f}s -> {t3_tok_s:.1f} tok/s "
-        f"(baseline {BASELINE_T3_TOK_S}: {t3_tok_s / BASELINE_T3_TOK_S:.3f}x)")
+        f"(baseline {BASELINE_T3_TOK_S}: {t3_tok_s / BASELINE_T3_TOK_S:.3f}x); "
+        f"p50 TTFT {ttfts[len(ttfts)//2]*1000:.0f}ms")
 
     # ---------------- S3Gen ----------------
     scfg = S3GenConfig()
     s3gen = S3Gen(scfg)
-    B, Tp = 8, 100
+    B, Tp = 16, 100
     Tg = 400
     T = Tp + Tg
     tokens = jnp.zeros((B, T), jnp.int32)

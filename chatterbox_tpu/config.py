@@ -123,6 +123,10 @@ class S3GenConfig:
     sigma_min: float = 1e-6
     inference_cfg_rate: float = 0.7
     n_timesteps: int = 10
+    # Pallas flash attention in the estimator: measured slower than XLA's
+    # fused attention at these shapes (T~700, D=64) — off by default,
+    # kept for larger-context tuning
+    use_flash_attention: bool = False
 
     # HiFTNet (s3gen.py:237-245, hifigan.py defaults)
     hift_base_channels: int = 512
@@ -147,7 +151,7 @@ class S3GenConfig:
         return dataclasses.replace(
             cls(), speech_vocab_size=64, enc_dim=32, enc_heads=2,
             enc_ffn_dim=64, enc_blocks=1, enc_up_blocks=1,
-            est_in_channels=64 + 16 * 3 + 16, est_channels=32, est_n_blocks=1,
+            est_in_channels=16 * 4, est_channels=32, est_n_blocks=1,
             est_mid_blocks=1, est_heads=2, est_head_dim=16, n_mels=16,
             spk_embed_dim=12, hift_base_channels=32, hift_nb_harmonics=2,
             f0_cond_channels=16,

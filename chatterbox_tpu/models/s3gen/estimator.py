@@ -71,12 +71,13 @@ class TransformerBlock(nn.Module):
     """Self-attention + gelu-FF block (matcha/transformer.py
     BasicTransformerBlock with norm_type='layer_norm', no cross-attn).
 
-    Attention runs through the Pallas flash kernel
-    (ops/flash_attention.py) — the materialized [B, H, T, T] softmax was the
-    single largest cost in the whole vocoder."""
+    Attention optionally runs through the Pallas flash kernel
+    (ops/flash_attention.py; S3GenConfig.use_flash_attention) — at these
+    shapes XLA's fused attention measured faster, so it is the default."""
     dim: int
     n_heads: int
     head_dim: int
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, key_mask, lengths=None):
@@ -89,7 +90,8 @@ class TransformerBlock(nn.Module):
         q = q.reshape(B, T, self.n_heads, self.head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(B, T, self.n_heads, self.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, self.n_heads, self.head_dim).transpose(0, 2, 1, 3)
-        if lengths is not None and jax.default_backend() == "tpu":
+        if (self.use_flash and lengths is not None
+                and jax.default_backend() == "tpu"):
             from ...ops.flash_attention import flash_self_attention
             attn = flash_self_attention(q, k, v, lengths)
         else:
@@ -131,6 +133,7 @@ class ConditionalDecoder(nn.Module):
             h = CausalResnetBlock1D(dim_out, name=f"{name}_resnet")(h, m, t_emb)
             for j in range(c.est_n_blocks):
                 h = TransformerBlock(dim_out, c.est_heads, c.est_head_dim,
+                                     c.use_flash_attention,
                                      name=f"{name}_tfmr_{j}")(h, mask, lengths)
             return h
 

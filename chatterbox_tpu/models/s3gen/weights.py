@@ -125,7 +125,7 @@ def _encoder_params(s: SD, cfg: S3GenConfig) -> dict:
             "conv1": s.conv("encoder.pre_lookahead_layer.conv1"),
             "conv2": s.conv("encoder.pre_lookahead_layer.conv2"),
         },
-        "up_layer": s.conv("encoder.up_layer.conv"),
+        "up_layer": {"conv": s.conv("encoder.up_layer.conv")},
     }
     for i in range(cfg.enc_blocks):
         p[f"encoders_{i}"] = _conformer_layer(s, f"encoder.encoders.{i}")

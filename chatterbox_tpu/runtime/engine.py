@@ -220,13 +220,17 @@ class T3Engine:
         return new_cache, st
 
     def _s_bucket(self, pos: int) -> int:
-        return max(128, min(self.S, -(-pos // 128) * 128))
+        # coarse grid (S/3): three active-length buckets balance read savings
+        # against compile count
+        step = max(128, -(-self.S // 3))
+        return max(step, min(self.S, -(-pos // step) * step))
 
     def precompile(self):
         """Compile the decode chunk for every s_active bucket up front so
         steady-state serving never hits a compile."""
+        step = max(128, -(-self.S // 3))
         buckets = sorted({self._s_bucket(p)
-                          for p in range(128, self.S + 128, 128)})
+                          for p in range(step, self.S + step, step)})
         for s_active in buckets:
             self.cache, self.state = self._decode_chunk(
                 self.params, self.cache, self.state,
