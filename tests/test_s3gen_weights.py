@@ -178,3 +178,74 @@ def test_s3gen_converter_tree_matches_init():
     wav, wl = jax.jit(lambda p: model.apply(
         p, tokens, tlen, pfeat, pflen, emb, noise, rngs, n_timesteps=1))(conv)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_campplus_converter_tree_matches_init():
+    from chatterbox_tpu.models.s3gen.weights import convert_campplus_params
+    from chatterbox_tpu.models.s3gen.xvector import CAMPPlus
+
+    rng = np.random.default_rng(1)
+    r = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.02
+    sd = {}
+
+    def bn(base, c):
+        sd[f"{base}.running_mean"] = r(c)
+        sd[f"{base}.running_var"] = np.abs(r(c)) + 1.0
+        sd[f"{base}.weight"] = r(c)
+        sd[f"{base}.bias"] = r(c)
+
+    def bn_noaffine(base, c):
+        sd[f"{base}.running_mean"] = r(c)
+        sd[f"{base}.running_var"] = np.abs(r(c)) + 1.0
+
+    m = 32
+    p = "speaker_encoder"
+    sd[f"{p}.head.conv1.weight"] = r(m, 1, 3, 3)
+    bn(f"{p}.head.bn1", m)
+    for li in (1, 2):
+        for bi in range(2):
+            b = f"{p}.head.layer{li}.{bi}"
+            sd[f"{b}.conv1.weight"] = r(m, m, 3, 3)
+            bn(f"{b}.bn1", m)
+            sd[f"{b}.conv2.weight"] = r(m, m, 3, 3)
+            bn(f"{b}.bn2", m)
+            if bi == 0:  # stride-2 block has a shortcut
+                sd[f"{b}.shortcut.0.weight"] = r(m, m, 1, 1)
+                bn(f"{b}.shortcut.1", m)
+    sd[f"{p}.head.conv2.weight"] = r(m, m, 3, 3)
+    bn(f"{p}.head.bn2", m)
+    ch = m * 10  # 80 mels / 8
+    sd[f"{p}.xvector.tdnn.linear.weight"] = r(128, ch, 5)
+    bn(f"{p}.xvector.tdnn.nonlinear.batchnorm", 128)
+    channels = 128
+    for bi, nl in zip((1, 2, 3), (12, 24, 16)):
+        for li in range(nl):
+            cin = channels + li * 32
+            b = f"{p}.xvector.block{bi}.tdnnd{li + 1}"
+            bn(f"{b}.nonlinear1.batchnorm", cin)
+            sd[f"{b}.linear1.weight"] = r(128, cin, 1)
+            bn(f"{b}.nonlinear2.batchnorm", 128)
+            sd[f"{b}.cam_layer.linear_local.weight"] = r(32, 128, 3)
+            sd[f"{b}.cam_layer.linear1.weight"] = r(64, 128, 1)
+            sd[f"{b}.cam_layer.linear1.bias"] = r(64)
+            sd[f"{b}.cam_layer.linear2.weight"] = r(32, 64, 1)
+            sd[f"{b}.cam_layer.linear2.bias"] = r(32)
+        channels += nl * 32
+        bn(f"{p}.xvector.transit{bi}.nonlinear.batchnorm", channels)
+        sd[f"{p}.xvector.transit{bi}.linear.weight"] = r(channels // 2, channels, 1)
+        channels //= 2
+    bn(f"{p}.xvector.out_nonlinear.batchnorm", channels)
+    sd[f"{p}.xvector.dense.linear.weight"] = r(192, channels * 2, 1)
+    bn_noaffine(f"{p}.xvector.dense.nonlinear.batchnorm", 192)
+
+    conv = convert_campplus_params(sd)
+    model = CAMPPlus()
+    init = jax.jit(lambda r_: model.init(r_, jnp.zeros((1, 220, 80))))(
+        jax.random.PRNGKey(0))
+    init_shapes = jax.tree.map(lambda x: tuple(x.shape), init)
+    conv_shapes = jax.tree.map(lambda x: tuple(x.shape), conv)
+    assert init_shapes == conv_shapes
+
+    out = jax.jit(lambda pr: model.apply(pr, jnp.zeros((1, 220, 80))))(conv)
+    assert out.shape == (1, 192)
+    assert np.isfinite(np.asarray(out)).all()
