@@ -43,9 +43,15 @@ def t3_param_spec(cfg: T3ModelConfig) -> dict:
       gate/up       [L, H, ffn]       -> split output dim on tp
       down          [L, ffn, H]       -> split input dim on tp
     Embeddings/head are replicated (8k x 1k is small); norms replicated.
+    INT8 trunks (ops/quant.py) shard w_q like kernel; per-output scales
+    follow the output dim (split for column-parallel, replicated for row).
     """
-    col = {"kernel": P(None, None, "tp")}   # split last (output) dim
-    row = {"kernel": P(None, "tp", None)}   # split middle (input) dim
+    if cfg.quant_weights:
+        col = {"w_q": P(None, None, "tp"), "scale": P(None, "tp")}
+        row = {"w_q": P(None, "tp", None), "scale": P(None, None)}
+    else:
+        col = {"kernel": P(None, None, "tp")}   # split last (output) dim
+        row = {"kernel": P(None, "tp", None)}   # split middle (input) dim
     rep = P()
 
     def rep_tree(x):
@@ -89,9 +95,11 @@ def shard_params(params, mesh: Mesh, spec_tree) -> Any:
     return jax.tree.map(place, params, spec_tree)
 
 
-def kv_cache_spec() -> P:
-    """KV cache [L, B2, S, heads, hd]: batch on dp, heads on tp."""
-    return P(None, "dp", None, "tp", None)
+def kv_cache_spec(quantized: bool = False):
+    """KV cache [L, B2, heads, S, hd]: batch lanes on dp, heads on tp.
+    Returns (value_spec, scale_spec)."""
+    return (P(None, "dp", "tp", None, None),
+            P(None, "dp", "tp", None) if quantized else None)
 
 
 def batch_spec() -> P:

@@ -103,11 +103,24 @@ class T3Engine:
     """Slot-based continuous batching over the T3 model."""
 
     def __init__(self, model: T3Model, params, cfg: T3ModelConfig,
-                 eng: EngineConfig, rng: Optional[jax.Array] = None):
+                 eng: EngineConfig, rng: Optional[jax.Array] = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with ('dp', 'tp') axes — shards
+        the trunk Megatron-style and the KV cache (lanes -> dp, heads -> tp);
+        XLA inserts the ICI collectives from the NamedShardings
+        (parallel/sharding.py)."""
         self.model = model
-        self.params = params
         self.cfg = cfg
         self.eng = eng
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from ..parallel.sharding import t3_param_spec
+            spec = t3_param_spec(cfg)
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                params, spec)
+        self.params = params
         self.B = eng.max_batch_size
         self.S = eng.max_model_len
         self.max_out = eng.tokens_max + 8
@@ -138,6 +151,17 @@ class T3Engine:
     def reset(self):
         cfgm, B, S = self.cfg, self.B, self.S
         self.cache = KVCache.zeros(cfgm, 2 * B, S, self._kv_dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from ..parallel.sharding import kv_cache_spec
+            vspec, sspec = kv_cache_spec(self.cache.quantized)
+            put = lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s))
+            self.cache = KVCache(
+                k=put(self.cache.k, vspec), v=put(self.cache.v, vspec),
+                k_scale=None if self.cache.k_scale is None
+                else put(self.cache.k_scale, sspec),
+                v_scale=None if self.cache.v_scale is None
+                else put(self.cache.v_scale, sspec))
         self.rng, sub = jax.random.split(self.rng)
         self.state = SlotState(
             tokens=jnp.zeros((B,), jnp.int32),
