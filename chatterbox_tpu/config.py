@@ -69,6 +69,11 @@ class T3ModelConfig:
     # INT8 weight-only trunk (ops/quant.py); halves the dominant per-step
     # HBM weight read during decode
     quant_weights: bool = False
+    # Pallas fused decode attention (ops/decode_attention.py).  Measured
+    # SLOWER than XLA's fusions on v5e (28 vs 7.3 ms/step at B=24 — the
+    # per-(lane, head) grid's [S, 1] column layouts waste VPU lanes); kept
+    # for future tuning, off by default.
+    fused_decode: bool = False
 
     @property
     def is_multilingual(self) -> bool:

@@ -198,6 +198,23 @@ class Attention(nn.Module):
             return _dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out), kc, vc
 
         # ---- decode mode ----
+        if (cfg.fused_decode and cfg.n_kv_heads == cfg.n_heads
+                and not self.is_initializing()
+                and jax.default_backend() == "tpu"):
+            from ...ops.decode_attention import fused_decode_attention
+            ones = None
+            fks = frozen_k_scale
+            fvs = frozen_v_scale
+            if fks is None:
+                ones = jnp.ones(frozen_k.shape[:3], jnp.float32)
+                fks = fvs = ones
+            out_h, nrk, nrv = fused_decode_attention(
+                q[:, 0], k[:, 0], v[:, 0], frozen_k, frozen_v, fks, fvs,
+                ring_k, ring_v, ring_idx, frozen_len)
+            out = out_h.reshape(B, 1, -1).astype(x.dtype)
+            return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
+                    nrk, nrv)
+
         S = frozen_k.shape[2]
         C = ring_k.shape[2]
         kt = k.transpose(0, 2, 1, 3).astype(ring_k.dtype)   # [B, H, 1, D]
