@@ -172,7 +172,7 @@ class EngineConfig:
     decode_chunk: int = 8           # decode steps per jitted chunk (host sync cadence)
     prefill_buckets: tuple = (64, 128, 256, 512, 1024)
     cfg_scale: float = 0.5          # default; per-request override supported
-    kv_dtype: str = "bfloat16"      # or "int8"
+    kv_dtype: str = "bfloat16"      # or "int8" / "int4" (nibble-packed)
     param_dtype: str = "bfloat16"
     # Sampling defaults (reference tts.py:259-311 + clamps at tts.py:349-356)
     temperature: float = 0.8

@@ -71,15 +71,24 @@ class KVCache:
 
     Optional int8 mode: k/v stored int8 with per-(layer, lane, head, pos)
     float32 scales — halves the dominant decode HBM read; dequant folds into
-    the attention einsums (scale is per key position, so it factors out)."""
+    the attention einsums (scale is per key position, so it factors out).
+
+    Optional int4 mode (bits=4): two 4-bit codes nibble-packed into one int8
+    along head_dim (last dim = head_dim // 2) — quarters the decode HBM read;
+    unpacking is two shifts fused into the attention read.  ``jnp.int4`` is
+    avoided on purpose: the dtype is not reliably lowered on all backends in
+    this tree, packed-int8 is."""
     k: jnp.ndarray
     v: jnp.ndarray
-    k_scale: Optional[jnp.ndarray] = None   # [L, B, H, T] when int8
+    k_scale: Optional[jnp.ndarray] = None   # [L, B, H, T] when int8/int4
     v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
-    def zeros(cls, cfg: T3ModelConfig, batch: int, length: int, dtype=jnp.bfloat16):
-        shape = (cfg.n_layers, batch, cfg.n_kv_heads, length, cfg.head_dim)
+    def zeros(cls, cfg: T3ModelConfig, batch: int, length: int,
+              dtype=jnp.bfloat16, bits: int = 8):
+        d = cfg.head_dim // 2 if (dtype == jnp.int8 and bits == 4) \
+            else cfg.head_dim
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, length, d)
         if dtype == jnp.int8:
             return cls(k=jnp.zeros(shape, jnp.int8),
                        v=jnp.zeros(shape, jnp.int8),
@@ -112,13 +121,34 @@ def _kv_unflatten(quant, leaves):
 jax.tree_util.register_pytree_node(KVCache, _kv_flatten, _kv_unflatten)
 
 
-def quantize_kv(x: jnp.ndarray):
-    """[..., T, D] float -> (int8 values, [..., T] scales)."""
+def quantize_kv(x: jnp.ndarray, bits: int = 8):
+    """[..., T, D] float -> (int8 values, [..., T] scales).
+
+    bits=4: codes clipped to [-7, 7] and nibble-packed pairwise along D
+    (output last dim D // 2); unpack with :func:`unpack_int4`."""
+    qmax = 127.0 if bits == 8 else 7.0
     amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1), 1e-8)
-    scale = amax / 127.0
+    scale = amax / qmax
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
-                 -127, 127).astype(jnp.int8)
+                 -qmax, qmax).astype(jnp.int8)
+    if bits == 4:
+        q = pack_int4(q)
     return q, scale
+
+
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """int8 codes in [-8, 7], even D -> packed int8 [..., D // 2]:
+    element 2i in the low nibble, 2i+1 in the high nibble."""
+    lo = q[..., 0::2] & 0x0F
+    hi = q[..., 1::2] & 0x0F
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4(p: jnp.ndarray) -> jnp.ndarray:
+    """Packed int8 [..., D/2] -> int8 codes [..., D] (sign-extended)."""
+    lo = ((p << 4).astype(jnp.int8) >> 4).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1], -1)
 
 
 class RMSNorm(nn.Module):
@@ -198,7 +228,9 @@ class Attention(nn.Module):
             return _dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out), kc, vc
 
         # ---- decode mode ----
+        int4_packed = frozen_k.shape[-1] == d // 2
         if (cfg.fused_decode and cfg.n_kv_heads == cfg.n_heads
+                and not int4_packed
                 and not self.is_initializing()
                 and jax.default_backend() == "tpu"):
             from ...ops.decode_attention import fused_decode_attention
@@ -226,6 +258,8 @@ class Attention(nn.Module):
 
         fk, fv = self._repeat_kv(frozen_k), self._repeat_kv(frozen_v)
         rk, rv = self._repeat_kv(new_ring_k), self._repeat_kv(new_ring_v)
+        if int4_packed:
+            fk, fv = unpack_int4(fk), unpack_int4(fv)
         if frozen_k_scale is not None:
             fk = fk.astype(x.dtype)   # int8 -> compute dtype (fused read)
             fv = fv.astype(x.dtype)

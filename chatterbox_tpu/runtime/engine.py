@@ -125,8 +125,13 @@ class T3Engine:
         self.S = eng.max_model_len
         self.max_out = eng.tokens_max + 8
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self._kv_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
-                          "int8": jnp.int8}.get(eng.kv_dtype, jnp.bfloat16)
+        kv_dtypes = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                     "int8": jnp.int8, "int4": jnp.int8}
+        if eng.kv_dtype not in kv_dtypes:
+            raise ValueError(f"kv_dtype must be one of {sorted(kv_dtypes)}, "
+                             f"got {eng.kv_dtype!r}")
+        self._kv_dtype = kv_dtypes[eng.kv_dtype]
+        self._kv_bits = 4 if eng.kv_dtype == "int4" else 8
         self._ring_dtype = (jnp.bfloat16 if self._kv_dtype == jnp.int8
                             else self._kv_dtype)
 
@@ -150,7 +155,8 @@ class T3Engine:
     # ------------------------------------------------------------------
     def reset(self):
         cfgm, B, S = self.cfg, self.B, self.S
-        self.cache = KVCache.zeros(cfgm, 2 * B, S, self._kv_dtype)
+        self.cache = KVCache.zeros(cfgm, 2 * B, S, self._kv_dtype,
+                                   bits=self._kv_bits)
         if self.mesh is not None:
             from jax.sharding import NamedSharding
             from ..parallel.sharding import kv_cache_spec
@@ -207,8 +213,8 @@ class T3Engine:
         P = pre_k.shape[3]
         lane_ids = jnp.stack([slot_ids * 2, slot_ids * 2 + 1], axis=1).reshape(-1)
         if cache.quantized:
-            kq, ks = quantize_kv(pre_k)
-            vq, vs = quantize_kv(pre_v)
+            kq, ks = quantize_kv(pre_k, self._kv_bits)
+            vq, vs = quantize_kv(pre_v, self._kv_bits)
             new_cache = KVCache(
                 k=cache.k.at[:, lane_ids, :, :P].set(kq),
                 v=cache.v.at[:, lane_ids, :, :P].set(vq),
@@ -325,8 +331,8 @@ class T3Engine:
         g0_l = jnp.repeat(g0, 2)
         n_l = jnp.repeat(n_new, 2)
         if frozen.quantized:
-            rkq, rks = quantize_kv(ring.k)
-            rvq, rvs = quantize_kv(ring.v)
+            rkq, rks = quantize_kv(ring.k, self._kv_bits)
+            rvq, rvs = quantize_kv(ring.v, self._kv_bits)
             frozen = KVCache(
                 k=_merge_ring(frozen.k, rkq, g0_l, n_l),
                 v=_merge_ring(frozen.v, rvq, g0_l, n_l),
