@@ -75,6 +75,13 @@ class T3ModelConfig:
     # for future tuning, off by default.
     fused_decode: bool = False
 
+    # Alignment stream (original Chatterbox safeguard the reference drops,
+    # reference README.md:99): expose head-mean attention of one mid layer
+    # over the frozen prefix during decode so the engine can track text
+    # alignment and stop hallucinated tails / suppress premature EOS.
+    align_enabled: bool = False
+    align_layer: int = 9            # original alignment_stream_analyzer layer
+
     @property
     def is_multilingual(self) -> bool:
         return self.text_vocab_size == 2454
@@ -187,6 +194,13 @@ class EngineConfig:
     tokens_guard_mult: float = 1.6
     pre_guard_margin: int = 16
     deterministic: bool = False
+    # Alignment-stream stopping (needs T3ModelConfig.align_enabled): force
+    # EOS once decode attention has consumed the text and stalled for
+    # `align_stall_patience` steps; suppress EOS while alignment is more than
+    # `align_end_margin` text tokens from the end.
+    align_stop: bool = False
+    align_stall_patience: int = 24   # ~1 s of speech tokens
+    align_end_margin: int = 2
 
 
 @dataclass(frozen=True)

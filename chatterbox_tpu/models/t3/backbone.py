@@ -90,10 +90,12 @@ class KVCache:
             else cfg.head_dim
         shape = (cfg.n_layers, batch, cfg.n_kv_heads, length, d)
         if dtype == jnp.int8:
+            # scales in bf16: the dequant product is computed in f32 anyway
+            # and bf16 halves the per-step scale read + cache footprint
             return cls(k=jnp.zeros(shape, jnp.int8),
                        v=jnp.zeros(shape, jnp.int8),
-                       k_scale=jnp.zeros(shape[:-1], jnp.float32),
-                       v_scale=jnp.zeros(shape[:-1], jnp.float32))
+                       k_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+                       v_scale=jnp.zeros(shape[:-1], jnp.bfloat16))
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
@@ -230,7 +232,7 @@ class Attention(nn.Module):
         # ---- decode mode ----
         int4_packed = frozen_k.shape[-1] == d // 2
         if (cfg.fused_decode and cfg.n_kv_heads == cfg.n_heads
-                and not int4_packed
+                and not int4_packed and not cfg.align_enabled
                 and not self.is_initializing()
                 and jax.default_backend() == "tpu"):
             from ...ops.decode_attention import fused_decode_attention
@@ -245,7 +247,7 @@ class Attention(nn.Module):
                 ring_k, ring_v, ring_idx, frozen_len)
             out = out_h.reshape(B, 1, -1).astype(x.dtype)
             return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
-                    nrk, nrv)
+                    nrk, nrv, jnp.zeros((B, 0), jnp.float32))
 
         S = frozen_k.shape[2]
         C = ring_k.shape[2]
@@ -267,7 +269,7 @@ class Attention(nn.Module):
         sf = jnp.einsum("bthd,bhsd->bhts", q, fk,
                         preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(d))
         if frozen_k_scale is not None:
-            sf = sf * self._repeat_kv(frozen_k_scale)[:, :, None, :]
+            sf = sf * self._repeat_kv(frozen_k_scale)[:, :, None, :].astype(jnp.float32)
         sr = jnp.einsum("bthd,bhcd->bhtc", q, rk,
                         preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(d))
 
@@ -284,14 +286,20 @@ class Attention(nn.Module):
         denom = jnp.sum(ef, axis=-1, keepdims=True) + jnp.sum(er, axis=-1, keepdims=True)
         pf = ef / denom
         pr = (er / denom).astype(x.dtype)
+        # Alignment stream (original Chatterbox alignment_stream_analyzer:
+        # attention of one mid layer over the text span tracks decode
+        # progress; the reference drops this safeguard, README.md:99) —
+        # head-mean frozen-segment probabilities, cheap to expose here.
+        align = (jnp.mean(pf, axis=1)[:, 0, :].astype(jnp.float32)
+                 if cfg.align_enabled else jnp.zeros((B, 0), jnp.float32))
         if frozen_v_scale is not None:
             # fold the per-position dequant scale into the probabilities
-            pf = pf * self._repeat_kv(frozen_v_scale)[:, :, None, :]
+            pf = pf * self._repeat_kv(frozen_v_scale)[:, :, None, :].astype(jnp.float32)
         pf = pf.astype(x.dtype)
         out = (jnp.einsum("bhts,bhsd->bthd", pf, fv)
                + jnp.einsum("bhtc,bhcd->bthd", pr, rv)).reshape(B, T, -1)
         return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
-                new_ring_k, new_ring_v)
+                new_ring_k, new_ring_v, align)
 
 
 class MLP(nn.Module):
@@ -319,12 +327,15 @@ class LlamaBlock(nn.Module):
             kv_out = (kc, vc)
         else:
             fk, fv, fks, fvs, rk, rv = layer_kv
-            out, nrk, nrv = attn(attn_in, positions, valid_len, inv_freq,
-                                 frozen_k=fk, frozen_v=fv,
-                                 frozen_len=valid_len,
-                                 ring_k=rk, ring_v=rv, ring_idx=ring_idx,
-                                 frozen_k_scale=fks, frozen_v_scale=fvs)
-            kv_out = (nrk, nrv)
+            out, nrk, nrv, align = attn(attn_in, positions, valid_len,
+                                        inv_freq,
+                                        frozen_k=fk, frozen_v=fv,
+                                        frozen_len=valid_len,
+                                        ring_k=rk, ring_v=rv,
+                                        ring_idx=ring_idx,
+                                        frozen_k_scale=fks,
+                                        frozen_v_scale=fvs)
+            kv_out = (nrk, nrv, align)
         x = x + out
         x = x + MLP(self.cfg, name="mlp")(
             RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x))
@@ -363,9 +374,9 @@ class LlamaBackbone(nn.Module):
             x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
             return x, KVCache(k=ks, v=vs)
 
-        x, (nrk, nrv) = scan(cfg, name="layers")(
+        x, (nrk, nrv, align) = scan(cfg, name="layers")(
             embeds, (frozen.k, frozen.v, frozen.k_scale, frozen.v_scale,
                      ring.k, ring.v),
             positions, valid_len, inv_freq, ring_idx)
         x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
-        return x, KVCache(k=nrk, v=nrv)
+        return x, KVCache(k=nrk, v=nrv), align

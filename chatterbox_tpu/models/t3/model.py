@@ -75,9 +75,9 @@ class T3Model(nn.Module):
         logits, frozen = self.prefill(embeds, prompt_len, cfg_scale)
         toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         ring = KVCache.zeros(self.cfg, 2 * B, 4, frozen.k.dtype)
-        logits, _ = self.decode_step(toks, jnp.ones((B,), jnp.int32),
-                                     prompt_len, frozen, prompt_len, ring,
-                                     jnp.int32(0), cfg_scale)
+        logits = self.decode_step(toks, jnp.ones((B,), jnp.int32),
+                                  prompt_len, frozen, prompt_len, ring,
+                                  jnp.int32(0), cfg_scale)[0]
         return logits
 
     # ------------------------------------------------------------------
@@ -165,18 +165,21 @@ class T3Model(nn.Module):
         position; frozen: read-only [L, 2B, H, S, D] prefix cache;
         frozen_len: [B] frozen valid length at chunk start; ring: [L, 2B, H,
         C, D] chunk-local cache; ring_idx: scalar chunk step.
-        Returns (logits [B, V], new_ring).
+        Returns (logits [B, V], new_ring), plus the cond-lane alignment
+        attention [B, S] of layer ``align_layer`` when ``align_enabled``.
         """
         B = tokens.shape[0]
         emb = self.speech_emb(tokens) + self.speech_pos_emb(speech_idx)  # [B, H]
         x = jnp.repeat(emb[:, None, :], 2, axis=0).reshape(B * 2, 1, -1)
         positions = jnp.repeat(global_pos, 2)[:, None]
         flen2 = jnp.repeat(frozen_len, 2)
-        hidden, new_ring = self.backbone(
+        hidden, new_ring, align = self.backbone(
             x, positions, flen2, mode="decode",
             frozen=frozen, ring=ring, ring_idx=ring_idx)
         h = hidden[:, 0].reshape(B, 2, -1)
         logits = self.cfg_logits(h, cfg_scale)
+        if self.cfg.align_enabled:
+            return logits, new_ring, align[self.cfg.align_layer, 0::2]
         return logits, new_ring
 
     def training_forward(self, cond_emb, text_ids, speech_tokens, speech_len):

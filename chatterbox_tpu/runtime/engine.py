@@ -69,6 +69,9 @@ class SlotState(NamedTuple):
     max_new: jnp.ndarray       # [B] per-slot token cap
     out_buf: jnp.ndarray       # [B, max_out] generated tokens
     cfg_scale: jnp.ndarray     # [B]
+    align_pos: jnp.ndarray     # [B] furthest text token attended to (-1 none)
+    align_stall: jnp.ndarray   # [B] steps since align_pos last advanced
+    text_len: jnp.ndarray      # [B] text token count (alignment target)
     params: SamplingParams
     sampler: SamplerState
 
@@ -144,11 +147,16 @@ class T3Engine:
         allow[cfg.stop_speech_token] = True           # EOS
         self._allow_mask = jnp.asarray(allow)
 
+        self._align = bool(cfg.align_enabled and eng.align_stop)
+        if eng.align_stop and not cfg.align_enabled:
+            raise ValueError("EngineConfig.align_stop needs "
+                             "T3ModelConfig.align_enabled")
         self._jit_prefill = {}
         self._decode_chunk = jax.jit(
             self._decode_chunk_impl, static_argnames=("n_steps", "s_active"),
-            donate_argnames=("frozen", "st"))
+            donate_argnames=("st",))
         self._insert = jax.jit(self._insert_impl, donate_argnames=("cache", "st"))
+        self._merge = jax.jit(self._merge_impl, donate_argnames=("frozen",))
 
         self.reset()
 
@@ -178,6 +186,9 @@ class T3Engine:
             max_new=jnp.zeros((B,), jnp.int32),
             out_buf=jnp.zeros((B, self.max_out), jnp.int32),
             cfg_scale=jnp.zeros((B,), jnp.float32),
+            align_pos=jnp.full((B,), -1, jnp.int32),
+            align_stall=jnp.zeros((B,), jnp.int32),
+            text_len=jnp.zeros((B,), jnp.int32),
             params=SamplingParams.full(B),
             sampler=SamplerState.init(B, cfgm.speech_vocab_size, sub),
         )
@@ -215,6 +226,8 @@ class T3Engine:
         if cache.quantized:
             kq, ks = quantize_kv(pre_k, self._kv_bits)
             vq, vs = quantize_kv(pre_v, self._kv_bits)
+            ks = ks.astype(cache.k_scale.dtype)
+            vs = vs.astype(cache.v_scale.dtype)
             new_cache = KVCache(
                 k=cache.k.at[:, lane_ids, :, :P].set(kq),
                 v=cache.v.at[:, lane_ids, :, :P].set(vq),
@@ -235,6 +248,10 @@ class T3Engine:
             max_new=st.max_new.at[sid].set(max_new),
             out_buf=st.out_buf.at[sid].set(0).at[sid, 0].set(first_tokens),
             cfg_scale=st.cfg_scale.at[sid].set(cfg_scale),
+            align_pos=st.align_pos.at[sid].set(-1),
+            align_stall=st.align_stall.at[sid].set(0),
+            text_len=st.text_len.at[sid].set(
+                prompt_len - self.cfg.cond_len - 1),
             params=SamplingParams(
                 temperature=st.params.temperature.at[sid].set(temps),
                 top_p=st.params.top_p.at[sid].set(top_ps),
@@ -250,21 +267,24 @@ class T3Engine:
         return new_cache, st
 
     def _s_bucket(self, pos: int) -> int:
-        # coarse grid (S/3): three active-length buckets balance read savings
-        # against compile count
-        step = max(128, -(-self.S // 3))
+        # bucket grid ~S/6: finer buckets cut the dominant frozen-cache
+        # attention read (decode cost scales with s_active); the persistent
+        # XLA compile cache keeps the extra compiles a one-time cost
+        step = max(96, -(-self.S // 6))
         return max(step, min(self.S, -(-pos // step) * step))
 
     def precompile(self):
         """Compile the decode chunk for every s_active bucket up front so
         steady-state serving never hits a compile."""
-        step = max(128, -(-self.S // 3))
+        step = max(96, -(-self.S // 6))
         buckets = sorted({self._s_bucket(p)
                           for p in range(step, self.S + step, step)})
         for s_active in buckets:
-            self.cache, self.state = self._decode_chunk(
+            ring, g0, self.state = self._decode_chunk(
                 self.params, self.cache, self.state,
                 n_steps=self.eng.decode_chunk, s_active=s_active)
+            self.cache = self._merge(self.cache, ring, g0,
+                                     self.state.global_pos - g0)
         self.reset()
 
     # ------------------------------------------------------------------
@@ -292,11 +312,43 @@ class T3Engine:
                 return model.decode_step(
                     st.tokens, st.n_generated, st.global_pos, fro, g0,
                     ring, c, st.cfg_scale)
-            logits, new_ring = nn_apply(self.model, params, apply)
+            out = nn_apply(self.model, params, apply)
+            logits, new_ring = out[0], out[1]
             logits = jnp.where(self._allow_mask[None, :], logits, -jnp.inf)
+            live = st.active & ~st.done
+
+            if self._align:
+                # Alignment-stream stopping (original Chatterbox safeguard;
+                # absent from the reference, README.md:99): track the
+                # furthest text position the decode attention has reached;
+                # suppress EOS until the text is consumed, force EOS once
+                # alignment has stalled at the end for `patience` steps.
+                aprobs = out[2]                           # [B, s_active]
+                pos = jnp.arange(aprobs.shape[1])[None, :]
+                span = (pos >= self.cfg.cond_len) & \
+                    (pos < self.cfg.cond_len + st.text_len[:, None])
+                a_cur = jnp.argmax(jnp.where(span, aprobs, -1.0),
+                                   axis=1).astype(jnp.int32) - self.cfg.cond_len
+                advanced = a_cur > st.align_pos
+                align_pos = jnp.where(live & advanced, a_cur, st.align_pos)
+                align_stall = jnp.where(
+                    live, jnp.where(advanced, 0, st.align_stall + 1),
+                    st.align_stall)
+                near_end = align_pos >= st.text_len - self.eng.align_end_margin
+                eos = self.cfg.stop_speech_token
+                suppress = live & ~near_end & (st.text_len > 0)
+                logits = logits.at[:, eos].set(
+                    jnp.where(suppress, -jnp.inf, logits[:, eos]))
+                force = live & near_end & \
+                    (align_stall >= self.eng.align_stall_patience)
+                logits = jnp.where(
+                    force[:, None],
+                    jnp.full_like(logits, -jnp.inf).at[:, eos].set(0.0),
+                    logits)
+            else:
+                align_pos, align_stall = st.align_pos, st.align_stall
 
             tokens, sampler = sample_step(logits, st.params, st.sampler)
-            live = st.active & ~st.done
             tokens = jnp.where(live, tokens, st.tokens)
 
             hit_eos = tokens == self.cfg.stop_speech_token
@@ -316,6 +368,8 @@ class T3Engine:
                                      st.global_pos),
                 done=done,
                 out_buf=out_buf,
+                align_pos=align_pos,
+                align_stall=align_stall,
                 sampler=SamplerState(
                     seen=jnp.where(live[:, None], sampler.seen, st.sampler.seen),
                     rng=sampler.rng),
@@ -323,26 +377,27 @@ class T3Engine:
             return (new_ring, new_st), None
 
         (ring, st), _ = jax.lax.scan(step, (ring, st), jnp.arange(n_steps))
+        return ring, g0, st
 
-        # merge ring -> frozen: per slot, ring entries [0, n_new) land at
-        # frozen positions [g0, g0 + n_new).  Gather-based full rewrite — a
-        # per-slot scatter lowers to an XLA scatter that costs ~4x more here.
-        n_new = st.global_pos - g0
+    def _merge_impl(self, frozen: KVCache, ring: KVCache, g0, n_new):
+        """Merge ring -> frozen in its own jit: per slot, ring entries
+        [0, n_new) land at frozen positions [g0, g0 + n_new).  Gather-based
+        full rewrite with donated frozen measures ~0.08 ms standalone; doing
+        it inside the decode-chunk jit forced XLA into whole-cache layout
+        round-trip copies (~2 ms/step at B=48, tools/xprof.py)."""
         g0_l = jnp.repeat(g0, 2)
         n_l = jnp.repeat(n_new, 2)
         if frozen.quantized:
             rkq, rks = quantize_kv(ring.k, self._kv_bits)
             rvq, rvs = quantize_kv(ring.v, self._kv_bits)
-            frozen = KVCache(
+            return KVCache(
                 k=_merge_ring(frozen.k, rkq, g0_l, n_l),
                 v=_merge_ring(frozen.v, rvq, g0_l, n_l),
                 k_scale=_merge_ring(frozen.k_scale, rks, g0_l, n_l),
                 v_scale=_merge_ring(frozen.v_scale, rvs, g0_l, n_l))
-        else:
-            frozen = KVCache(
-                k=_merge_ring(frozen.k, ring.k, g0_l, n_l),
-                v=_merge_ring(frozen.v, ring.v, g0_l, n_l))
-        return frozen, st
+        return KVCache(
+            k=_merge_ring(frozen.k, ring.k, g0_l, n_l),
+            v=_merge_ring(frozen.v, ring.v, g0_l, n_l))
 
     # ------------------------------------------------------------------
     # Orchestration (request queue / slot map / waves live in the native
@@ -374,9 +429,11 @@ class T3Engine:
 
             # --- decode ---
             s_active = self._s_bucket(max(sched.advance(eng.decode_chunk), 1))
-            self.cache, self.state = self._decode_chunk(
+            ring, g0, self.state = self._decode_chunk(
                 self.params, self.cache, self.state,
                 n_steps=eng.decode_chunk, s_active=s_active)
+            self.cache = self._merge(self.cache, ring, g0,
+                                     self.state.global_pos - g0)
 
             # --- harvest ---
             done = np.asarray(self.state.done)

@@ -84,3 +84,70 @@ def test_per_request_cfg_scale(setup):
                        temperature=0.0, cfg_scale=scale)]
         outs.append(engine.generate(reqs)[0].tokens)
     assert not np.array_equal(outs[0], outs[1])
+
+
+def _align_engine(patience, margin, max_new=24):
+    import dataclasses as dc
+    from chatterbox_tpu.config import EngineConfig, T3ModelConfig
+    from chatterbox_tpu.models.t3.model import T3Model
+    from chatterbox_tpu.runtime.engine import Request, T3Engine
+    cfg = dc.replace(T3ModelConfig.tiny(), align_enabled=True, align_layer=1)
+    model = T3Model(cfg)
+    params = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, cfg.speaker_embed_size)),
+        jnp.zeros((1, 4), jnp.int32), 0.5 * jnp.ones((1, 1)),
+        jnp.zeros((1, 4), jnp.int32), jnp.full((1,), 4, jnp.int32),
+        method=lambda m, *a: m.init_all(*a)))(jax.random.PRNGKey(0))
+    eng = EngineConfig(max_batch_size=2, max_model_len=96, decode_chunk=4,
+                       prefill_buckets=(8, 16), tokens_max=max_new,
+                       align_stop=True, align_stall_patience=patience,
+                       align_end_margin=margin)
+    engine = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(3))
+    rs = np.random.default_rng(0)
+    reqs = [Request(
+        text_ids=rs.integers(0, cfg.text_vocab_size, size=6).astype(np.int32),
+        cond_emb=rs.standard_normal(
+            (cfg.cond_len, cfg.hidden_size)).astype(np.float32),
+        max_new_tokens=max_new, temperature=0.8, uid=i) for i in range(3)]
+    return engine, reqs, cfg
+
+
+def test_align_stop_forces_eos_when_stalled():
+    # margin >= text_len makes near_end true immediately; patience 0 forces
+    # EOS on the first decode step after admission.
+    engine, reqs, cfg = _align_engine(patience=0, margin=100)
+    results = engine.generate(reqs)
+    for r in results:
+        assert r.finished_by_stop, r.tokens
+        assert len(r.tokens) <= 3
+        assert r.tokens[-1] == cfg.stop_speech_token
+
+
+def test_align_stop_suppresses_premature_eos():
+    # margin very negative -> near_end never true -> EOS suppressed; every
+    # request must run to its cap and never finish by stop.
+    engine, reqs, cfg = _align_engine(patience=0, margin=-1000, max_new=12)
+    results = engine.generate(reqs)
+    for r in results:
+        assert not r.finished_by_stop
+        assert len(r.tokens) == 12
+        assert (r.tokens != cfg.stop_speech_token).all()
+
+
+def test_align_stop_requires_model_flag():
+    import dataclasses as dc
+    import pytest
+    from chatterbox_tpu.config import EngineConfig, T3ModelConfig
+    from chatterbox_tpu.models.t3.model import T3Model
+    from chatterbox_tpu.runtime.engine import T3Engine
+    cfg = T3ModelConfig.tiny()
+    model = T3Model(cfg)
+    params = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, cfg.speaker_embed_size)),
+        jnp.zeros((1, 4), jnp.int32), 0.5 * jnp.ones((1, 1)),
+        jnp.zeros((1, 4), jnp.int32), jnp.full((1,), 4, jnp.int32),
+        method=lambda m, *a: m.init_all(*a)))(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        T3Engine(model, params, cfg,
+                 EngineConfig(max_batch_size=2, max_model_len=96,
+                              align_stop=True))
