@@ -40,7 +40,7 @@ def main():
     from chatterbox_tpu.ops.quant import quantize_t3_params
     base_cfg = T3ModelConfig()
     cfg = dataclasses.replace(base_cfg, quant_weights=True)
-    eng = EngineConfig(max_batch_size=24, max_model_len=576, decode_chunk=32,
+    eng = EngineConfig(max_batch_size=48, max_model_len=576, decode_chunk=32,
                       kv_dtype="int8")
     base_model = T3Model(base_cfg)
     model = T3Model(cfg)
@@ -59,7 +59,7 @@ def main():
 
     engine = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(1))
 
-    n_requests = 48
+    n_requests = 96
     reqs = []
     for i in range(n_requests):
         text = rs.integers(1, cfg.text_vocab_size, size=130).astype(np.int32)

@@ -80,12 +80,19 @@ class TTSService:
     def synthesize(self, text: str, language: str = "en",
                    exaggeration: float = 0.5, temperature: float = 0.8,
                    diffusion_steps: int = 10,
-                   voice_path: Optional[str] = None) -> np.ndarray:
+                   voice_path: Optional[str] = None,
+                   top_p: float = 1.0, min_p: float = 0.05,
+                   repetition_penalty: float = 2.0,
+                   cfg_scale: Optional[float] = None,
+                   seed: Optional[int] = None) -> np.ndarray:
         with self.lock:
+            if seed is not None:
+                self.tts.set_seed(int(seed))
             wavs = self.tts.generate(
                 [text], audio_prompt_path=voice_path, language_id=language,
                 exaggeration=exaggeration, temperature=temperature,
-                diffusion_steps=diffusion_steps)
+                diffusion_steps=diffusion_steps, top_p=top_p, min_p=min_p,
+                repetition_penalty=repetition_penalty, cfg_scale=cfg_scale)
         return np.asarray(wavs[0])
 
     def stream_pcm_frames(self, text: str, frame_ms: int = 20,
@@ -103,6 +110,60 @@ class TTSService:
                 yield pcm[off: off + frame_len]
 
 
+
+
+# Browser UI with the reference gradio app's knobs (gradio_tts_app.py:26-120:
+# text box, exaggeration / temperature / seed / diffusion-steps / min_p /
+# top_p / repetition-penalty sliders) served as a static page over the same
+# stdlib server — no gradio dependency.
+UI_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>chatterbox-tpu</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:720px;margin:2rem auto;padding:0 1rem;background:#111;color:#eee}
+ textarea{width:100%;height:7rem;background:#1c1c1c;color:#eee;border:1px solid #444;border-radius:6px;padding:.5rem}
+ label{display:flex;justify-content:space-between;margin:.6rem 0 .1rem;font-size:.9rem;color:#bbb}
+ input[type=range]{width:100%}
+ button{margin-top:1rem;padding:.6rem 2rem;font-size:1rem;border-radius:6px;border:0;background:#4a7dff;color:#fff;cursor:pointer}
+ button:disabled{background:#555}
+ #status{margin-left:1rem;color:#9a9}
+ audio{width:100%;margin-top:1rem}
+</style></head><body>
+<h2>chatterbox-tpu TTS</h2>
+<textarea id="text">Now let's make my mum's favourite. So three mars bars into the pan. Then we add the tuna and just stir for a bit.</textarea>
+<div id="sliders"></div>
+<label>language <select id="language"><option>en</option><option>fr</option><option>de</option><option>es</option><option>it</option><option>pt</option><option>zh</option><option>ja</option><option>ko</option><option>ru</option><option>ar</option><option>hi</option></select></label>
+<button id="go">Generate</button><span id="status"></span>
+<audio id="player" controls></audio>
+<script>
+const S=[["exaggeration",.25,2,.05,.5],["temperature",.05,5,.05,.8],
+ ["seed",0,9999,1,0],["diffusion_steps",2,25,1,10],["min_p",0,1,.01,.05],
+ ["top_p",0,1,.01,1],["repetition_penalty",1,3,.05,2]];
+const box=document.getElementById("sliders");
+for(const [n,lo,hi,st,dv] of S){
+ box.insertAdjacentHTML("beforeend",
+  `<label>${n}<span id="${n}_v">${dv}</span></label>
+   <input type="range" id="${n}" min="${lo}" max="${hi}" step="${st}" value="${dv}"
+    oninput="document.getElementById('${n}_v').textContent=this.value">`);}
+document.getElementById("go").onclick=async()=>{
+ const b=document.getElementById("go"),st=document.getElementById("status");
+ b.disabled=true;st.textContent="generating\u2026";
+ const req={input:document.getElementById("text").value,
+  language:document.getElementById("language").value};
+ for(const [n] of S) req[n]=parseFloat(document.getElementById(n).value);
+ try{
+  const t0=performance.now();
+  const r=await fetch("/v1/audio/speech",{method:"POST",
+   headers:{"Content-Type":"application/json"},body:JSON.stringify(req)});
+  if(!r.ok) throw new Error((await r.json()).error||r.status);
+  const blob=await r.blob();
+  document.getElementById("player").src=URL.createObjectURL(blob);
+  document.getElementById("player").play();
+  st.textContent=`done in ${((performance.now()-t0)/1000).toFixed(1)}s`;
+ }catch(e){st.textContent="error: "+e.message}
+ b.disabled=false;};
+</script></body></html>"""
+
+
 def make_handler(service: TTSService):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -111,7 +172,14 @@ def make_handler(service: TTSService):
             print(f"[Server] {self.address_string()} {fmt % args}")
 
         def do_GET(self):
-            if self.path in ("/health", "/v1/health"):
+            if self.path in ("/", "/ui"):
+                body = UI_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path in ("/health", "/v1/health"):
                 body = json.dumps({"status": "ok"}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
@@ -138,7 +206,15 @@ def make_handler(service: TTSService):
                     exaggeration=float(req.get("exaggeration", 0.5)),
                     temperature=float(req.get("temperature", 0.8)),
                     diffusion_steps=int(req.get("diffusion_steps", 10)),
+                    top_p=float(req.get("top_p", 1.0)),
+                    min_p=float(req.get("min_p", 0.05)),
+                    repetition_penalty=float(
+                        req.get("repetition_penalty", 2.0)),
                 )
+                if req.get("cfg_scale") is not None:
+                    kw["cfg_scale"] = float(req["cfg_scale"])
+                if req.get("seed") is not None:
+                    kw["seed"] = int(req["seed"])
                 voice = req.get("voice")
                 if voice and voice not in ("alloy", "default") and os.path.isfile(voice):
                     kw["voice_path"] = voice

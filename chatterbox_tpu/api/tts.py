@@ -87,6 +87,15 @@ class ChatterboxTTS:
         self._cond_cache: dict = {}
 
     # ------------------------------------------------------------------
+    def set_seed(self, seed: int):
+        """Deterministic sampling/noise reseed (reference
+        gradio_tts_app.py:16-23 set_seed over torch/np/random)."""
+        import jax
+        self.engine.rng = jax.random.PRNGKey(seed)
+        st = self.engine.state
+        self.engine.state = st._replace(
+            sampler=st.sampler._replace(rng=jax.random.PRNGKey(seed + 1)))
+
     @property
     def sr(self) -> int:
         return S3GEN_SR

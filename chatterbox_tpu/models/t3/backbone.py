@@ -197,7 +197,8 @@ class Attention(nn.Module):
     def __call__(self, x, positions, valid_len, inv_freq,
                  frozen_k=None, frozen_v=None, frozen_len=None,
                  ring_k=None, ring_v=None, ring_idx=None,
-                 frozen_k_scale=None, frozen_v_scale=None):
+                 frozen_k_scale=None, frozen_v_scale=None,
+                 ring_k_scale=None, ring_v_scale=None):
         """Two modes:
 
         Block mode (frozen_k is None): self-attention within the block with
@@ -233,6 +234,7 @@ class Attention(nn.Module):
         int4_packed = frozen_k.shape[-1] == d // 2
         if (cfg.fused_decode and cfg.n_kv_heads == cfg.n_heads
                 and not int4_packed and not cfg.align_enabled
+                and ring_k_scale is None
                 and not self.is_initializing()
                 and jax.default_backend() == "tpu"):
             from ...ops.decode_attention import fused_decode_attention
@@ -247,16 +249,34 @@ class Attention(nn.Module):
                 ring_k, ring_v, ring_idx, frozen_len)
             out = out_h.reshape(B, 1, -1).astype(x.dtype)
             return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
-                    nrk, nrv, jnp.zeros((B, 0), jnp.float32))
+                    nrk, nrv, None, None, jnp.zeros((B, 0), jnp.float32))
 
         S = frozen_k.shape[2]
         C = ring_k.shape[2]
-        kt = k.transpose(0, 2, 1, 3).astype(ring_k.dtype)   # [B, H, 1, D]
-        vt = v.transpose(0, 2, 1, 3).astype(ring_v.dtype)
-        new_ring_k = jax.lax.dynamic_update_slice(
-            ring_k, kt, (0, 0, ring_idx, 0))
-        new_ring_v = jax.lax.dynamic_update_slice(
-            ring_v, vt, (0, 0, ring_idx, 0))
+        ring_quant = ring_k_scale is not None
+        kt = k.transpose(0, 2, 1, 3)                        # [B, H, 1, D]
+        vt = v.transpose(0, 2, 1, 3)
+        if ring_quant:
+            # quantize the step's K/V at ring write — the ring is then read
+            # (within-chunk attention) and merged without a second pass
+            ktq, kts = quantize_kv(kt)
+            vtq, vts = quantize_kv(vt)
+            new_ring_k = jax.lax.dynamic_update_slice(
+                ring_k, ktq, (0, 0, ring_idx, 0))
+            new_ring_v = jax.lax.dynamic_update_slice(
+                ring_v, vtq, (0, 0, ring_idx, 0))
+            new_rks = jax.lax.dynamic_update_slice(
+                ring_k_scale, kts.astype(ring_k_scale.dtype),
+                (0, 0, ring_idx))
+            new_rvs = jax.lax.dynamic_update_slice(
+                ring_v_scale, vts.astype(ring_v_scale.dtype),
+                (0, 0, ring_idx))
+        else:
+            new_ring_k = jax.lax.dynamic_update_slice(
+                ring_k, kt.astype(ring_k.dtype), (0, 0, ring_idx, 0))
+            new_ring_v = jax.lax.dynamic_update_slice(
+                ring_v, vt.astype(ring_v.dtype), (0, 0, ring_idx, 0))
+            new_rks = new_rvs = None
 
         fk, fv = self._repeat_kv(frozen_k), self._repeat_kv(frozen_v)
         rk, rv = self._repeat_kv(new_ring_k), self._repeat_kv(new_ring_v)
@@ -270,8 +290,13 @@ class Attention(nn.Module):
                         preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(d))
         if frozen_k_scale is not None:
             sf = sf * self._repeat_kv(frozen_k_scale)[:, :, None, :].astype(jnp.float32)
+        if ring_quant:
+            rk = rk.astype(x.dtype)
+            rv = rv.astype(x.dtype)
         sr = jnp.einsum("bthd,bhcd->bhtc", q, rk,
                         preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(d))
+        if ring_quant:
+            sr = sr * self._repeat_kv(new_rks)[:, :, None, :].astype(jnp.float32)
 
         f_valid = (jnp.arange(S)[None, :] < frozen_len[:, None])[:, None, None, :]
         r_valid = (jnp.arange(C)[None, :] <= ring_idx)[:, None, None, :]
@@ -295,11 +320,15 @@ class Attention(nn.Module):
         if frozen_v_scale is not None:
             # fold the per-position dequant scale into the probabilities
             pf = pf * self._repeat_kv(frozen_v_scale)[:, :, None, :].astype(jnp.float32)
+        if ring_quant:
+            pr = (pr.astype(jnp.float32)
+                  * self._repeat_kv(new_rvs)[:, :, None, :].astype(jnp.float32)
+                  ).astype(x.dtype)
         pf = pf.astype(x.dtype)
         out = (jnp.einsum("bhts,bhsd->bthd", pf, fv)
                + jnp.einsum("bhtc,bhcd->bthd", pr, rv)).reshape(B, T, -1)
         return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
-                new_ring_k, new_ring_v, align)
+                new_ring_k, new_ring_v, new_rks, new_rvs, align)
 
 
 class MLP(nn.Module):
@@ -326,16 +355,14 @@ class LlamaBlock(nn.Module):
             out, kc, vc = attn(attn_in, positions, valid_len, inv_freq)
             kv_out = (kc, vc)
         else:
-            fk, fv, fks, fvs, rk, rv = layer_kv
-            out, nrk, nrv, align = attn(attn_in, positions, valid_len,
-                                        inv_freq,
-                                        frozen_k=fk, frozen_v=fv,
-                                        frozen_len=valid_len,
-                                        ring_k=rk, ring_v=rv,
-                                        ring_idx=ring_idx,
-                                        frozen_k_scale=fks,
-                                        frozen_v_scale=fvs)
-            kv_out = (nrk, nrv, align)
+            fk, fv, fks, fvs, rk, rv, rks, rvs = layer_kv
+            out, nrk, nrv, nrks, nrvs, align = attn(
+                attn_in, positions, valid_len, inv_freq,
+                frozen_k=fk, frozen_v=fv, frozen_len=valid_len,
+                ring_k=rk, ring_v=rv, ring_idx=ring_idx,
+                frozen_k_scale=fks, frozen_v_scale=fvs,
+                ring_k_scale=rks, ring_v_scale=rvs)
+            kv_out = (nrk, nrv, nrks, nrvs, align)
         x = x + out
         x = x + MLP(self.cfg, name="mlp")(
             RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x))
@@ -374,9 +401,9 @@ class LlamaBackbone(nn.Module):
             x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
             return x, KVCache(k=ks, v=vs)
 
-        x, (nrk, nrv, align) = scan(cfg, name="layers")(
+        x, (nrk, nrv, nrks, nrvs, align) = scan(cfg, name="layers")(
             embeds, (frozen.k, frozen.v, frozen.k_scale, frozen.v_scale,
-                     ring.k, ring.v),
+                     ring.k, ring.v, ring.k_scale, ring.v_scale),
             positions, valid_len, inv_freq, ring_idx)
         x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
-        return x, KVCache(k=nrk, v=nrv), align
+        return x, KVCache(k=nrk, v=nrv, k_scale=nrks, v_scale=nrvs), align

@@ -74,11 +74,23 @@ def top_p_min_p_mask(logits, top_p, min_p):
     return jnp.where(keep, logits, -jnp.inf)
 
 
-def sample_step(logits, params: SamplingParams, state: SamplerState):
+def min_p_mask(logits, min_p):
+    """min-p filtering only — no sort.  Used when every live request has
+    top_p == 1 (the engine passes needs_top_p=False statically): the full
+    8194-way sort is the single most expensive sampling op (~0.5 ms/step at
+    B=48 on v5e)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    max_prob = jnp.max(probs, axis=-1, keepdims=True)
+    keep = probs >= (min_p[:, None] * max_prob)
+    return jnp.where(keep, logits, -jnp.inf)
+
+
+def sample_step(logits, params: SamplingParams, state: SamplerState,
+                needs_top_p: bool = True):
     """Sample one token per slot; returns (tokens [B] int32, new_state).
 
     temperature == 0 selects greedy argmax (reference deterministic mode,
-    tts.py:358-362).
+    tts.py:358-362).  needs_top_p is static: False skips the nucleus sort.
     """
     logits = logits.astype(jnp.float32)
     logits = apply_repetition_penalty(logits, state.seen, params.repetition_penalty)
@@ -86,7 +98,10 @@ def sample_step(logits, params: SamplingParams, state: SamplerState):
     greedy = params.temperature <= 0.0
     safe_temp = jnp.where(greedy, 1.0, params.temperature)
     scaled = logits / safe_temp[:, None]
-    filtered = top_p_min_p_mask(scaled, params.top_p, params.min_p)
+    if needs_top_p:
+        filtered = top_p_min_p_mask(scaled, params.top_p, params.min_p)
+    else:
+        filtered = min_p_mask(scaled, params.min_p)
 
     rng, sub = jax.random.split(state.rng)
     gumbel = jax.random.gumbel(sub, filtered.shape, jnp.float32)

@@ -135,8 +135,9 @@ class T3Engine:
                              f"got {eng.kv_dtype!r}")
         self._kv_dtype = kv_dtypes[eng.kv_dtype]
         self._kv_bits = 4 if eng.kv_dtype == "int4" else 8
-        self._ring_dtype = (jnp.bfloat16 if self._kv_dtype == jnp.int8
-                            else self._kv_dtype)
+        # quantized cache -> int8 ring (scales per position): halves the
+        # ring scan-carry copies and skips the merge-time requant pass
+        self._ring_dtype = self._kv_dtype
 
         # Invalid-id mask: only real codes and EOS are sampleable (the
         # reference samples anything then drops invalid ids, tts.py:463-465;
@@ -153,7 +154,8 @@ class T3Engine:
                              "T3ModelConfig.align_enabled")
         self._jit_prefill = {}
         self._decode_chunk = jax.jit(
-            self._decode_chunk_impl, static_argnames=("n_steps", "s_active"),
+            self._decode_chunk_impl,
+            static_argnames=("n_steps", "s_active", "needs_top_p"),
             donate_argnames=("st",))
         self._insert = jax.jit(self._insert_impl, donate_argnames=("cache", "st"))
         self._merge = jax.jit(self._merge_impl, donate_argnames=("frozen",))
@@ -291,9 +293,11 @@ class T3Engine:
     # Decode path (frozen-prefix + chunk ring; see models/t3/backbone.py)
     # ------------------------------------------------------------------
     def _decode_chunk_impl(self, params, frozen: KVCache, st: SlotState, *,
-                           n_steps: int, s_active: int):
+                           n_steps: int, s_active: int,
+                           needs_top_p: bool = True):
         g0 = st.global_pos                       # frozen length per slot
-        ring = KVCache.zeros(self.cfg, 2 * self.B, n_steps, self._ring_dtype)
+        ring = KVCache.zeros(self.cfg, 2 * self.B, n_steps,
+                             self._ring_dtype)  # int8 ring carries scales
         # Attention only reads the live prefix of the frozen cache —
         # s_active is bucketed by the engine so early decode steps don't
         # stream the whole max_model_len cache.
@@ -381,23 +385,85 @@ class T3Engine:
 
     def _merge_impl(self, frozen: KVCache, ring: KVCache, g0, n_new):
         """Merge ring -> frozen in its own jit: per slot, ring entries
-        [0, n_new) land at frozen positions [g0, g0 + n_new).  Gather-based
-        full rewrite with donated frozen measures ~0.08 ms standalone; doing
-        it inside the decode-chunk jit forced XLA into whole-cache layout
-        round-trip copies (~2 ms/step at B=48, tools/xprof.py)."""
+        [0, n_new) land at frozen positions [g0, g0 + n_new).
+
+        Windowed in-place update: one C-wide dynamic slice + DUS per lane on
+        the donated cache (unrolled over lanes — a lax.scan would ping-pong
+        the multi-GB carry).  Measured 0.2-0.5 ms vs ~100 ms for the
+        gather-based full-cache rewrite (which moves ~14 GB at B=48).  The
+        sharded path keeps the gather rewrite: per-lane dynamic slices cross
+        dp shards under SPMD."""
         g0_l = jnp.repeat(g0, 2)
         n_l = jnp.repeat(n_new, 2)
-        if frozen.quantized:
+        if frozen.quantized and ring.quantized:
+            if self._kv_bits == 8:     # int8 ring slots straight in
+                rkq, rks = ring.k, ring.k_scale
+                rvq, rvs = ring.v, ring.v_scale
+            else:                       # int4 frozen: repack the int8 ring
+                kf = ring.k.astype(jnp.float32) * \
+                    ring.k_scale[..., None].astype(jnp.float32)
+                vf = ring.v.astype(jnp.float32) * \
+                    ring.v_scale[..., None].astype(jnp.float32)
+                rkq, rks = quantize_kv(kf, 4)
+                rvq, rvs = quantize_kv(vf, 4)
+            rks = rks.astype(frozen.k_scale.dtype)
+            rvs = rvs.astype(frozen.v_scale.dtype)
+        elif frozen.quantized:
             rkq, rks = quantize_kv(ring.k, self._kv_bits)
             rvq, rvs = quantize_kv(ring.v, self._kv_bits)
+            rks = rks.astype(frozen.k_scale.dtype)
+            rvs = rvs.astype(frozen.v_scale.dtype)
+        else:
+            rkq, rvq, rks, rvs = ring.k, ring.v, None, None
+
+        if self.mesh is not None:
+            if frozen.quantized:
+                return KVCache(
+                    k=_merge_ring(frozen.k, rkq, g0_l, n_l),
+                    v=_merge_ring(frozen.v, rvq, g0_l, n_l),
+                    k_scale=_merge_ring(frozen.k_scale, rks, g0_l, n_l),
+                    v_scale=_merge_ring(frozen.v_scale, rvs, g0_l, n_l))
             return KVCache(
                 k=_merge_ring(frozen.k, rkq, g0_l, n_l),
-                v=_merge_ring(frozen.v, rvq, g0_l, n_l),
-                k_scale=_merge_ring(frozen.k_scale, rks, g0_l, n_l),
-                v_scale=_merge_ring(frozen.v_scale, rvs, g0_l, n_l))
-        return KVCache(
-            k=_merge_ring(frozen.k, ring.k, g0_l, n_l),
-            v=_merge_ring(frozen.v, ring.v, g0_l, n_l))
+                v=_merge_ring(frozen.v, rvq, g0_l, n_l))
+
+        C = ring.k.shape[3]
+        L, B2, H, S = frozen.k.shape[:4]
+        cm5 = jnp.arange(C)[None, None, None, :, None]
+        cm4 = jnp.arange(C)[None, None, None, :]
+        fk, fv = frozen.k, frozen.v
+        ks, vs = frozen.k_scale, frozen.v_scale
+        for b in range(B2):
+            off = jnp.minimum(g0_l[b], S - C)
+            rel0 = g0_l[b] - off          # >0 only when g0 near cache end
+            src = jnp.clip(jnp.arange(C) - rel0, 0, C - 1)
+            keep5 = (cm5 >= rel0) & (cm5 < rel0 + n_l[b])
+            keep4 = (cm4 >= rel0) & (cm4 < rel0 + n_l[b])
+
+            def upd(fro, u):
+                D = fro.shape[4]
+                old = jax.lax.dynamic_slice(
+                    fro, (0, b, 0, off, 0), (L, 1, H, C, D))
+                un = jnp.take(u[:, b][:, None], src, axis=3)
+                new = jnp.where(keep5, un.astype(fro.dtype), old)
+                return jax.lax.dynamic_update_slice(
+                    fro, new, (0, b, 0, off, 0))
+
+            def upd_s(fro, u):
+                old = jax.lax.dynamic_slice(
+                    fro, (0, b, 0, off), (L, 1, H, C))
+                un = jnp.take(u[:, b][:, None], src, axis=3)
+                new = jnp.where(keep4, un.astype(fro.dtype), old)
+                return jax.lax.dynamic_update_slice(fro, new, (0, b, 0, off))
+
+            fk = upd(fk, rkq)
+            fv = upd(fv, rvq)
+            if frozen.quantized:
+                ks = upd_s(ks, rks)
+                vs = upd_s(vs, rvs)
+        if frozen.quantized:
+            return KVCache(k=fk, v=fv, k_scale=ks, v_scale=vs)
+        return KVCache(k=fk, v=fv)
 
     # ------------------------------------------------------------------
     # Orchestration (request queue / slot map / waves live in the native
@@ -414,6 +480,7 @@ class T3Engine:
                               r.max_new_tokens)
         results: dict = {}
         self._ttft = {}
+        needs_top_p = any(r.top_p < 1.0 - 1e-6 for r in requests)
 
         while sched.pending_count() or sched.active_count():
             # --- admission (scheduler applies wave hysteresis so prefill
@@ -431,7 +498,8 @@ class T3Engine:
             s_active = self._s_bucket(max(sched.advance(eng.decode_chunk), 1))
             ring, g0, self.state = self._decode_chunk(
                 self.params, self.cache, self.state,
-                n_steps=eng.decode_chunk, s_active=s_active)
+                n_steps=eng.decode_chunk, s_active=s_active,
+                needs_top_p=needs_top_p)
             self.cache = self._merge(self.cache, ring, g0,
                                      self.state.global_pos - g0)
 

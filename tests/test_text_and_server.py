@@ -63,6 +63,10 @@ def test_wav_container():
 
 class FakeTTS:
     sr = 24000
+    seed = None
+
+    def set_seed(self, seed):
+        self.seed = seed
 
     def generate(self, prompts, **kw):
         return [np.zeros(2400, np.float32) for _ in prompts]
@@ -97,6 +101,20 @@ def test_http_server_roundtrip():
         with urllib.request.urlopen(req) as r:
             body = r.read()
             assert len(body) == 4800  # 2400 samples * 2 bytes
+        # web UI page (gradio-app equivalent)
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+            assert "exaggeration" in page and "repetition_penalty" in page
+        # seed + sampling knobs accepted
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/audio/speech",
+            data=json.dumps({"input": "hi", "seed": 7, "top_p": 0.9,
+                             "min_p": 0.02, "repetition_penalty": 1.5,
+                             "cfg_scale": 0.4}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert r.read()[:4] == b"RIFF"
+        assert service.tts.seed == 7
         # error path
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/v1/audio/speech",
