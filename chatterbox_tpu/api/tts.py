@@ -108,6 +108,50 @@ class ChatterboxTTS:
     # ------------------------------------------------------------------
     # Construction
     # ------------------------------------------------------------------
+    HF_REPO = "ResembleAI/chatterbox"
+    # pinned revisions, reference tts.py:163 / mtl_tts.py:195
+    HF_REVISION = {"english": "1b475dffa71fb191cb6d5901215eb6f55635a9b6",
+                   "multilingual": "main"}
+
+    @classmethod
+    def from_pretrained(cls, repo_id: Optional[str] = None,
+                        variant: str = "english",
+                        cache_dir: Optional[str] = None,
+                        **kwargs) -> "ChatterboxTTS":
+        """Download the reference checkpoint set from HF hub (pinned
+        revision, reference tts.py:160-188) and build via :meth:`from_local`.
+        Needs network access + ``huggingface_hub``; in air-gapped
+        environments download the files out of band and use ``from_local``.
+        """
+        repo = repo_id or cls.HF_REPO
+        files = ["ve.safetensors", "s3gen.safetensors", "conds.pt",
+                 "tokenizer.json"]
+        files.append("t3_cfg.safetensors" if variant == "english"
+                     else "t3_23lang.safetensors")
+        if variant == "multilingual":
+            files += ["grapheme_mtl_merged_expanded_v1.json",
+                      "Cangjie5_TC.json"]
+        try:
+            from huggingface_hub import hf_hub_download
+        except ImportError as e:
+            raise RuntimeError(
+                "from_pretrained needs the 'huggingface_hub' package; "
+                "download the checkpoint files manually and use "
+                f"ChatterboxTTS.from_local(<dir>). Files: {files}") from e
+        rev = cls.HF_REVISION.get(variant)
+        local = None
+        for f in files:
+            try:
+                p = hf_hub_download(repo, f, revision=rev,
+                                    cache_dir=cache_dir)
+            except Exception as e:
+                raise RuntimeError(
+                    f"could not download {repo}/{f} (offline?); fetch the "
+                    "checkpoint out of band and use from_local(<dir>)."
+                ) from e
+            local = Path(p).parent
+        return cls.from_local(local, variant=variant, **kwargs)
+
     @classmethod
     def from_local(cls, ckpt_dir: Union[str, Path], variant: str = "english",
                    cfg: Optional[ChatterboxConfig] = None,

@@ -157,7 +157,6 @@ class T3Engine:
             self._decode_chunk_impl,
             static_argnames=("n_steps", "s_active", "needs_top_p"),
             donate_argnames=("st",))
-        self._insert = jax.jit(self._insert_impl, donate_argnames=("cache", "st"))
         self._merge = jax.jit(self._merge_impl, donate_argnames=("frozen",))
 
         self.reset()
@@ -199,19 +198,43 @@ class T3Engine:
     # Prefill path
     # ------------------------------------------------------------------
     def _prefill_fn(self, m: int, text_bucket: int):
+        """Single-dispatch admission: prefill + allow-mask + first-token
+        sampling + cache/state insert in ONE jit (each eager op between jits
+        costs a host round trip — ~6-12 ms on a tunneled chip, and admission
+        used to make ~20 of them)."""
         key = (m, text_bucket)
         if key not in self._jit_prefill:
 
-            def run(params, cond_emb, text_ids, text_len, cfg_scale):
+            def run(params, cache, st, slot_ids, row_src, cond_emb,
+                    text_ids, text_len, cfg_scale, max_new, temps, top_ps,
+                    min_ps, rep_pens, rng):
                 def apply(model):
                     embeds, prompt_len = model.build_prompt_embeds(
                         cond_emb, text_ids, text_len)
                     logits, block_kv = model.prefill(
                         embeds, prompt_len, cfg_scale)
                     return logits, block_kv, prompt_len
-                return nn_apply(self.model, params, apply)
+                logits, pre_cache, prompt_len = nn_apply(
+                    self.model, params, apply)
+                logits = jnp.where(self._allow_mask[None, :], logits,
+                                   -jnp.inf)
+                sp = SamplingParams(temps, top_ps, min_ps, rep_pens)
+                first_rng, chunk_rng = jax.random.split(rng)
+                first_tokens, _ = sample_step(
+                    logits, sp,
+                    SamplerState.init(slot_ids.shape[0],
+                                      self.cfg.speech_vocab_size, first_rng))
+                # bucket-padding rows duplicate request 0; remap their
+                # sampled token to row 0's so duplicate scatter payloads are
+                # bit-identical (write order then doesn't matter)
+                first_tokens = first_tokens[row_src]
+                return self._insert_impl(
+                    cache, st, slot_ids, pre_cache.k, pre_cache.v,
+                    prompt_len, first_tokens, chunk_rng, max_new,
+                    cfg_scale, temps, top_ps, min_ps, rep_pens)
 
-            self._jit_prefill[key] = jax.jit(run)
+            self._jit_prefill[key] = jax.jit(
+                run, donate_argnames=("cache", "st"))
         return self._jit_prefill[key]
 
     def _insert_impl(self, cache: KVCache, st: SlotState, slot_ids,
@@ -221,6 +244,8 @@ class T3Engine:
 
         slot_ids: [m] int32; pre_k/pre_v: [L, 2m, P, H, D]; the 2m lanes are
         (slot, lane)-major matching lane index slot*2+lane in the big cache.
+        Duplicate slot_ids are allowed iff their payload rows are identical
+        (the admit path pads a partial bucket by repeating request 0).
         """
         m = slot_ids.shape[0]
         P = pre_k.shape[3]
@@ -486,7 +511,10 @@ class T3Engine:
             # --- admission (scheduler applies wave hysteresis so prefill
             # launches stay in a small set of compiled bucket shapes) ---
             while True:
-                slots, uids = sched.admit(self.B)
+                # cap the admission wave: a full-B prefill materializes a
+                # [L, 2m, P, H, D] block-KV transient (~3.4 GB at m=48),
+                # OOMing next to the live cache
+                slots, uids = sched.admit(min(self.B, 16))
                 if not slots:
                     break
                 self._admit([requests[u] for u in uids], slots)
@@ -503,12 +531,11 @@ class T3Engine:
             self.cache = self._merge(self.cache, ring, g0,
                                      self.state.global_pos - g0)
 
-            # --- harvest ---
-            done = np.asarray(self.state.done)
-            active = np.asarray(self.state.active)
+            # --- harvest (one batched device->host fetch) ---
+            done, active, n_gen = jax.device_get(
+                (self.state.done, self.state.active, self.state.n_generated))
             fslots, fuids = sched.harvest((done & active).astype(np.uint8))
             if fslots:
-                n_gen = np.asarray(self.state.n_generated)
                 out = np.asarray(self.state.out_buf)
                 for slot, ridx in zip(fslots, fuids):
                     toks = out[slot, : n_gen[slot]]
@@ -527,54 +554,44 @@ class T3Engine:
     def _admit(self, reqs: List[Request], slots: List[int]):
         eng = self.eng
         m = len(reqs)
-        # keep prefill compile shapes to a small set: m in {1, 4, B}
-        m_bucket = next(b for b in (1, 4, self.B) if b >= m) if m <= self.B else self.B
+        # keep prefill compile shapes to a small set
+        mb_opts = (1, 4, 16, self.B) if self.B > 16 else (1, 4, self.B)
+        m_bucket = next((b for b in mb_opts if b >= m), self.B)
         text_bucket = _bucket(max(len(r.text_ids) for r in reqs),
                               eng.prefill_buckets)
 
         text = np.zeros((m_bucket, text_bucket), np.int32)
         tlen = np.zeros((m_bucket,), np.int32)
         cond = np.zeros((m_bucket, self.cfg.cond_len, self.cfg.hidden_size), np.float32)
-        cfgs = np.full((m_bucket,), eng.cfg_scale, np.float32)
-        for j, r in enumerate(reqs):
+        for j in range(m_bucket):
+            r = reqs[min(j, m - 1)]
             L = min(len(r.text_ids), text_bucket)
             text[j, :L] = r.text_ids[:L]
             tlen[j] = L
             cond[j] = r.cond_emb
-            cfgs[j] = r.cfg_scale
 
-        fn = self._prefill_fn(m_bucket, text_bucket)
-        logits, pre_cache, prompt_len = fn(
-            self.params, jnp.asarray(cond), jnp.asarray(text), jnp.asarray(tlen),
-            jnp.asarray(cfgs))
-        logits = jnp.where(self._allow_mask[None, :], logits, -jnp.inf)
-
-        # First token sampling with the admitted requests' own params.
-        sp = SamplingParams(
-            temperature=jnp.asarray([r.temperature for r in reqs] + [1.0] * (m_bucket - m), jnp.float32),
-            top_p=jnp.asarray([r.top_p for r in reqs] + [1.0] * (m_bucket - m), jnp.float32),
-            min_p=jnp.asarray([r.min_p for r in reqs] + [0.0] * (m_bucket - m), jnp.float32),
-            repetition_penalty=jnp.asarray([r.repetition_penalty for r in reqs] + [1.0] * (m_bucket - m), jnp.float32),
-        )
+        # pad the bucket by repeating request 0 / slot 0 — duplicate
+        # scatter writes carry identical payloads, so order is irrelevant
+        reqs_p = reqs + [reqs[0]] * (m_bucket - m)
+        slots_p = list(slots) + [slots[0]] * (m_bucket - m)
+        arr = lambda g, dt: jnp.asarray([g(r) for r in reqs_p], dt)
         self.rng, sub = jax.random.split(self.rng)
-        first_tokens, _ = sample_step(
-            logits, sp, SamplerState.init(m_bucket, self.cfg.speech_vocab_size, sub))
-
-        self.rng, chunk_rng = jax.random.split(self.rng)
-        sel = np.arange(m)
-        lane_sel = np.stack([2 * sel, 2 * sel + 1], axis=1).reshape(-1)
-        self.cache, self.state = self._insert(
-            self.cache, self.state,
-            jnp.asarray(slots, jnp.int32),
-            pre_cache.k[:, lane_sel],
-            pre_cache.v[:, lane_sel],
-            prompt_len[sel], first_tokens[sel], chunk_rng,
-            jnp.asarray([min(r.max_new_tokens, self.max_out,
-                             self.S - len(r.text_ids) - self.cfg.cond_len - 1)
-                         for r in reqs], jnp.int32),
-            jnp.asarray([r.cfg_scale for r in reqs], jnp.float32),
-            sp.temperature[sel], sp.top_p[sel], sp.min_p[sel],
-            sp.repetition_penalty[sel])
+        fn = self._prefill_fn(m_bucket, text_bucket)
+        row_src = np.concatenate([np.arange(m), np.zeros(m_bucket - m, int)])
+        self.cache, self.state = fn(
+            self.params, self.cache, self.state,
+            jnp.asarray(slots_p, jnp.int32),
+            jnp.asarray(row_src, jnp.int32),
+            jnp.asarray(cond), jnp.asarray(text), jnp.asarray(tlen),
+            arr(lambda r: r.cfg_scale, jnp.float32),
+            arr(lambda r: min(r.max_new_tokens, self.max_out,
+                              self.S - len(r.text_ids) - self.cfg.cond_len - 1),
+                jnp.int32),
+            arr(lambda r: r.temperature, jnp.float32),
+            arr(lambda r: r.top_p, jnp.float32),
+            arr(lambda r: r.min_p, jnp.float32),
+            arr(lambda r: r.repetition_penalty, jnp.float32),
+            sub)
 
 
 def nn_apply(model, params, fn):
