@@ -69,6 +69,8 @@ class TTSService:
     def __init__(self, tts, warmup_text: Optional[str] = None):
         self.tts = tts
         self.lock = threading.Lock()
+        self.stats = {"requests": 0, "errors": 0, "audio_s": 0.0,
+                      "synth_s": 0.0, "started_at": time.time()}
         if warmup_text:
             try:
                 t0 = time.time()
@@ -85,15 +87,33 @@ class TTSService:
                    repetition_penalty: float = 2.0,
                    cfg_scale: Optional[float] = None,
                    seed: Optional[int] = None) -> np.ndarray:
-        with self.lock:
-            if seed is not None:
-                self.tts.set_seed(int(seed))
-            wavs = self.tts.generate(
-                [text], audio_prompt_path=voice_path, language_id=language,
-                exaggeration=exaggeration, temperature=temperature,
-                diffusion_steps=diffusion_steps, top_p=top_p, min_p=min_p,
-                repetition_penalty=repetition_penalty, cfg_scale=cfg_scale)
-        return np.asarray(wavs[0])
+        t0 = time.time()
+        try:
+            with self.lock:
+                if seed is not None:
+                    self.tts.set_seed(int(seed))
+                wavs = self.tts.generate(
+                    [text], audio_prompt_path=voice_path,
+                    language_id=language, exaggeration=exaggeration,
+                    temperature=temperature,
+                    diffusion_steps=diffusion_steps, top_p=top_p,
+                    min_p=min_p, repetition_penalty=repetition_penalty,
+                    cfg_scale=cfg_scale)
+        except Exception:
+            self.stats["errors"] += 1
+            raise
+        wav = np.asarray(wavs[0])
+        self.stats["requests"] += 1
+        self.stats["audio_s"] += len(wav) / getattr(self.tts, "sr", 24000)
+        self.stats["synth_s"] += time.time() - t0
+        return wav
+
+    def metrics(self) -> dict:
+        s = dict(self.stats)
+        s["uptime_s"] = round(time.time() - s.pop("started_at"), 1)
+        s["realtime_factor"] = round(
+            s["audio_s"] / s["synth_s"], 2) if s["synth_s"] else None
+        return s
 
     def stream_pcm_frames(self, text: str, frame_ms: int = 20,
                           first_chunk_chars: int = 120,
@@ -176,6 +196,13 @@ def make_handler(service: TTSService):
                 body = UI_HTML.encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path in ("/metrics", "/v1/metrics"):
+                body = json.dumps(service.metrics()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

@@ -101,6 +101,10 @@ def test_http_server_roundtrip():
         with urllib.request.urlopen(req) as r:
             body = r.read()
             assert len(body) == 4800  # 2400 samples * 2 bytes
+        # metrics endpoint
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/v1/metrics") as r:
+            m = json.load(r)
+            assert m["requests"] >= 1 and m["realtime_factor"] is not None
         # web UI page (gradio-app equivalent)
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
             page = r.read().decode()
