@@ -66,11 +66,13 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
-def flash_self_attention(q, k, v, kv_len, bq: int = 128, bk: int = 128,
+def flash_self_attention(q, k, v, kv_len, bq: int = 256, bk: int = 1024,
                          interpret: bool = False):
     """q, k, v: [B, H, T, D]; kv_len: [B] int32.  Non-causal, key-masked."""
     B, H, T, D = q.shape
     scale = 1.0 / np.sqrt(D)
+    bq = min(bq, -(-T // 128) * 128)
+    bk = min(bk, -(-T // 128) * 128)
     Tp = -(-T // max(bq, bk)) * max(bq, bk)
     if Tp != T:
         pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
