@@ -221,10 +221,20 @@ class PostProcessConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device-mesh / sharding layout for multi-chip serving."""
+    """Device-mesh / sharding layout for multi-chip serving / training.
+
+    Axes: dp = data (request/batch) parallel, sp = sequence parallel
+    (training activations sharded along time; XLA all-gathers around
+    attention), tp = tensor parallel (Megatron column/row splits) over ICI.
+    Pipeline parallel is deliberately absent: a 0.5 B-param dense trunk fits
+    a single chip with room to spare, so pp would only add bubble overhead;
+    expert parallel does not apply (no MoE layers in the model family —
+    the reference's MoEFFNLayer is dead code, positionwise_feed_forward.py:58).
+    """
     dp: int = 1        # data (request) parallel axis
+    sp: int = 1        # sequence parallel axis (training)
     tp: int = 1        # tensor parallel axis over ICI
-    axis_names: tuple = ("dp", "tp")
+    axis_names: tuple = ("dp", "sp", "tp")
 
 
 @dataclass(frozen=True)

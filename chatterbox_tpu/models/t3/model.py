@@ -182,7 +182,8 @@ class T3Model(nn.Module):
             return logits, new_ring, align[self.cfg.align_layer, 0::2]
         return logits, new_ring
 
-    def training_forward(self, cond_emb, text_ids, speech_tokens, speech_len):
+    def training_forward(self, cond_emb, text_ids, speech_tokens, speech_len,
+                         act_constraint=None):
         """Teacher-forced full-sequence forward for training / eval.
 
         cond_emb: [B, 34, H]; text_ids: [B, Tt] (uniform length — standard
@@ -208,6 +209,10 @@ class T3Model(nn.Module):
 
         x = jnp.concatenate([cond_emb.astype(text_e.dtype), text_e, sos_e,
                              sp_e], axis=1)
+        if act_constraint is not None:
+            # sequence-parallel hint: [B, T, H] -> P(dp, sp, None); XLA
+            # all-gathers T around attention and re-shards elementwise work
+            x = act_constraint(x)
         T = x.shape[1]
         positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
         lens = jnp.full((B,), cfg.cond_len + Tt + 1, jnp.int32) + \

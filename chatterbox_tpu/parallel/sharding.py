@@ -23,14 +23,15 @@ from ..config import MeshConfig, T3ModelConfig
 def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    dp, tp = cfg.dp, cfg.tp
-    if dp * tp != n:
+    dp, sp, tp = cfg.dp, getattr(cfg, "sp", 1), cfg.tp
+    if dp * sp * tp != n:
         # auto-layout: fill tp first (ICI-friendly), dp with the rest
+        sp = 1
         tp = min(tp if tp > 1 else n, n)
         while n % tp:
             tp -= 1
         dp = n // tp
-    arr = np.asarray(devices).reshape(dp, tp)
+    arr = np.asarray(devices).reshape(dp, sp, tp)
     return Mesh(arr, cfg.axis_names)
 
 

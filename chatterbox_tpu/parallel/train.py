@@ -39,10 +39,18 @@ def make_train_step(model: T3Model, mesh: Mesh, learning_rate: float = 1e-4):
         opt_state = tx.init(params)
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
+    sp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("sp", 1)
+    act_sharding = (NamedSharding(mesh, P("dp", "sp", None))
+                    if sp_size > 1 else None)
+    act_constraint = (
+        (lambda x: jax.lax.with_sharding_constraint(x, act_sharding))
+        if act_sharding is not None else None)
+
     def loss_fn(params, cond_emb, text_ids, speech_tokens, speech_len):
         return model.apply(
             params, cond_emb, text_ids, speech_tokens, speech_len,
-            method=lambda m, *a: m.training_forward(*a))
+            method=lambda m, *a: m.training_forward(
+                *a, act_constraint=act_constraint))
 
     @jax.jit
     def step_fn(state: TrainState, cond_emb, text_ids, speech_tokens,
