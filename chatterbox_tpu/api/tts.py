@@ -379,6 +379,18 @@ class ChatterboxTTS:
     # ------------------------------------------------------------------
     # Generation (reference tts.py:259-562)
     # ------------------------------------------------------------------
+    def _maybe_profile(self):
+        """CHATTERBOX_PROFILE=<dir> wraps generation in a jax.profiler trace
+        (analyze with tools/xprof.py <dir>) — the TPU-native upgrade of the
+        reference's wall-clock print brackets (SURVEY §5.1)."""
+        import contextlib
+        import os as _os
+        d = _os.environ.get("CHATTERBOX_PROFILE")
+        if d:
+            import jax as _jax
+            return _jax.profiler.trace(d)
+        return contextlib.nullcontext()
+
     def generate(self, prompts: Union[str, List[str]],
                  audio_prompt_path: Optional[str] = None,
                  language_id: Optional[str] = "en",
@@ -388,7 +400,11 @@ class ChatterboxTTS:
             prompts, conds, language_id=language_id,
             exaggeration=exaggeration, **kwargs)
 
-    def generate_with_conds(
+    def generate_with_conds(self, prompts, conds, **kwargs):
+        with self._maybe_profile():
+            return self._generate_with_conds_impl(prompts, conds, **kwargs)
+
+    def _generate_with_conds_impl(
             self, prompts: Union[str, List[str]], conds: Conditionals,
             language_id: Optional[str] = "en", temperature: float = 0.8,
             exaggeration: float = 0.5, max_tokens: int = 1000,

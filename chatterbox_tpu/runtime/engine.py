@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Any, List, NamedTuple, Optional, Sequence
 
@@ -506,10 +507,13 @@ class T3Engine:
         results: dict = {}
         self._ttft = {}
         needs_top_p = any(r.top_p < 1.0 - 1e-6 for r in requests)
+        phase = {"admit": 0.0, "decode": 0.0, "merge": 0.0, "harvest": 0.0}
+        n_chunks = 0
 
         while sched.pending_count() or sched.active_count():
             # --- admission (scheduler applies wave hysteresis so prefill
             # launches stay in a small set of compiled bucket shapes) ---
+            t_ph = time.time()
             while True:
                 # cap the admission wave: a full-B prefill materializes a
                 # [L, 2m, P, H, D] block-KV transient (~3.4 GB at m=48),
@@ -523,15 +527,22 @@ class T3Engine:
                     self._ttft[u] = now
 
             # --- decode ---
+            phase["admit"] += time.time() - t_ph
+            t_ph = time.time()
             s_active = self._s_bucket(max(sched.advance(eng.decode_chunk), 1))
             ring, g0, self.state = self._decode_chunk(
                 self.params, self.cache, self.state,
                 n_steps=eng.decode_chunk, s_active=s_active,
                 needs_top_p=needs_top_p)
+            n_chunks += 1
+            phase["decode"] += time.time() - t_ph
+            t_ph = time.time()
             self.cache = self._merge(self.cache, ring, g0,
                                      self.state.global_pos - g0)
+            phase["merge"] += time.time() - t_ph
 
             # --- harvest (one batched device->host fetch) ---
+            t_ph = time.time()
             done, active, n_gen = jax.device_get(
                 (self.state.done, self.state.active, self.state.n_generated))
             fslots, fuids = sched.harvest((done & active).astype(np.uint8))
@@ -548,7 +559,13 @@ class T3Engine:
                     active=self.state.active.at[np.asarray(fslots)].set(False))
                 if progress:
                     print(f"[engine] {len(results)}/{len(requests)} done")
+            phase["harvest"] += time.time() - t_ph
 
+        if progress or os.environ.get("CHATTERBOX_DEBUG"):
+            tot = sum(phase.values())
+            print(f"[engine] {n_chunks} chunks; phase seconds: "
+                  + ", ".join(f"{k}={v:.2f}" for k, v in phase.items())
+                  + f" (sum {tot:.2f})")
         return [results[i] for i in range(len(requests))]
 
     def _admit(self, reqs: List[Request], slots: List[int]):
