@@ -562,10 +562,11 @@ class T3Engine:
             phase["harvest"] += time.time() - t_ph
 
         if progress or os.environ.get("CHATTERBOX_DEBUG"):
+            import sys
             tot = sum(phase.values())
             print(f"[engine] {n_chunks} chunks; phase seconds: "
                   + ", ".join(f"{k}={v:.2f}" for k, v in phase.items())
-                  + f" (sum {tot:.2f})")
+                  + f" (sum {tot:.2f})", file=sys.stderr)
         return [results[i] for i in range(len(requests))]
 
     def _admit(self, reqs: List[Request], slots: List[int]):
