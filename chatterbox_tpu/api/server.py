@@ -63,6 +63,13 @@ def split_for_low_latency(text: str, first_chunk_chars: int = 120,
     return ([first] if first else []) + split_text_by_sentence(rest, max_chars)
 
 
+def apply_watermark(wav: np.ndarray, sr: int) -> np.ndarray:
+    """No-op watermark hook (parity: reference openai_tts_server.py:342-350
+    keeps a disabled perth watermarker slot).  Plug a real watermarker here;
+    the server routes every synthesized wav through it."""
+    return wav
+
+
 class TTSService:
     """Wraps a ChatterboxTTS session behind a lock + warmup."""
 
@@ -102,7 +109,8 @@ class TTSService:
         except Exception:
             self.stats["errors"] += 1
             raise
-        wav = np.asarray(wavs[0])
+        wav = apply_watermark(np.asarray(wavs[0]),
+                              getattr(self.tts, "sr", 24000))
         self.stats["requests"] += 1
         self.stats["audio_s"] += len(wav) / getattr(self.tts, "sr", 24000)
         self.stats["synth_s"] += time.time() - t0
