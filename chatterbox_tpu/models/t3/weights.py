@@ -25,11 +25,7 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     return load_file(path)
 
 
-def convert_t3_params(sd: Dict[str, np.ndarray], cfg: T3ModelConfig,
-                      strict: bool = False) -> dict:
-    """Build the flax param tree for T3Model from a torch state dict."""
-    used = set()
-
+def _getter(sd, used):
     def get(key, transpose=False, optional=False):
         if key not in sd:
             if optional:
@@ -38,16 +34,17 @@ def convert_t3_params(sd: Dict[str, np.ndarray], cfg: T3ModelConfig,
         used.add(key)
         w = np.asarray(sd[key], np.float32)
         return _t(w) if transpose else w
+    return get
 
-    p: dict = {}
 
-    # Embeddings + learned positions (tts.py:111-117, t3.py:356-372)
-    p["text_emb"] = {"embedding": get("text_emb.weight")}
-    p["speech_emb"] = {"embedding": get("speech_emb.weight")}
-    p["text_pos_emb"] = {"embedding": get("text_pos_emb.emb.weight")}
-    p["speech_pos_emb"] = {"embedding": get("speech_pos_emb.emb.weight")}
+def convert_t3_cond_enc(sd: Dict[str, np.ndarray]) -> dict:
+    """Flax params for just the conditioning encoder — mirrors the
+    reference's partial load (tts.py:105-117 loads only cond_enc.* /
+    speech_emb / speech_pos_emb from t3_cfg.safetensors)."""
+    return _cond_enc_tree(_getter(sd, set()))
 
-    # Conditioning encoder (cond_enc.py:57-123, perceiver.py:116-215)
+
+def _cond_enc_tree(get):
     attn = {
         "norm": {"scale": get("cond_enc.perceiver.attn.norm.weight"),
                  "bias": get("cond_enc.perceiver.attn.norm.bias")},
@@ -63,12 +60,30 @@ def convert_t3_params(sd: Dict[str, np.ndarray], cfg: T3ModelConfig,
     query = get("cond_enc.perceiver.pre_attention_query")
     if query.ndim == 3:
         query = query[0]
-    p["cond_enc"] = {
+    return {
         "spkr_enc": {"kernel": get("cond_enc.spkr_enc.weight", True),
                      "bias": get("cond_enc.spkr_enc.bias")},
         "emotion_adv_fc": {"kernel": get("cond_enc.emotion_adv_fc.weight", True)},
         "perceiver": {"pre_attention_query": query, "attn": attn},
     }
+
+
+def convert_t3_params(sd: Dict[str, np.ndarray], cfg: T3ModelConfig,
+                      strict: bool = False) -> dict:
+    """Build the flax param tree for T3Model from a torch state dict."""
+    used = set()
+    get = _getter(sd, used)
+
+    p: dict = {}
+
+    # Embeddings + learned positions (tts.py:111-117, t3.py:356-372)
+    p["text_emb"] = {"embedding": get("text_emb.weight")}
+    p["speech_emb"] = {"embedding": get("speech_emb.weight")}
+    p["text_pos_emb"] = {"embedding": get("text_pos_emb.emb.weight")}
+    p["speech_pos_emb"] = {"embedding": get("speech_pos_emb.emb.weight")}
+
+    # Conditioning encoder (cond_enc.py:57-123, perceiver.py:116-215)
+    p["cond_enc"] = _cond_enc_tree(get)
 
     # Llama trunk: stack per-layer tensors on axis 0 for nn.scan
     def stacked(fmt, transpose):
