@@ -1,0 +1,112 @@
+"""Microbench: decode-attention frozen-read variants at bench shape.
+
+B2=96 lanes, H=16, S=576, D=64, 30 layers folded as a leading dim.
+Each variant loops inside one jit (scan) so tunnel RTT doesn't dominate.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B2, H, S, D, L = 96, 16, 576, 64, 30
+ITERS = 30
+
+
+def timeit(name, fn, *args):
+    fn_j = jax.jit(fn)
+    out = fn_j(*args)
+    np.asarray(jax.tree.leaves(out)[0])[()]  # force
+    t0 = time.time()
+    out = fn_j(*args)
+    np.asarray(jax.tree.leaves(out)[0])[()]
+    dt = (time.time() - t0) / ITERS
+    print(f"{name:42s} {dt * 1e6:9.1f} us/step-all-layers "
+          f"({dt * 1e6 / L:6.1f} us/layer)", file=sys.stderr)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    kf = rng.standard_normal((L, B2, H, S, D)).astype(np.float32)
+    vf = rng.standard_normal((L, B2, H, S, D)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((L, B2, H, D)).astype(np.float32)).astype(jnp.bfloat16)
+    k8 = jnp.asarray(np.clip(np.round(kf * 30), -127, 127).astype(np.int8))
+    v8 = jnp.asarray(np.clip(np.round(vf * 30), -127, 127).astype(np.int8))
+    ks = jnp.asarray(rng.standard_normal((L, B2, H, S)).astype(np.float32)).astype(jnp.bfloat16)
+    vs = jnp.asarray(rng.standard_normal((L, B2, H, S)).astype(np.float32)).astype(jnp.bfloat16)
+    kb = jnp.asarray(kf).astype(jnp.bfloat16)
+    vb = jnp.asarray(vf).astype(jnp.bfloat16)
+
+    def scan_layers(body, *carriers):
+        def run(*args):
+            def step(acc, xs):
+                return acc + body(*xs), None
+            acc0 = jnp.zeros((B2, H, D), jnp.float32)
+            for _ in range(ITERS):
+                acc0, _ = jax.lax.scan(step, acc0, args)
+            return acc0
+        return run
+
+    # variant 1: shipped path — int8 -> bf16 convert, bf16 einsum, scale mul
+    def v1(k8l, v8l, ksl, vsl, ql):
+        fk = k8l.astype(jnp.bfloat16)
+        fv = v8l.astype(jnp.bfloat16)
+        s = jnp.einsum("bhd,bhsd->bhs", ql, fk,
+                       preferred_element_type=jnp.float32)
+        s = s * ksl.astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        p = (p * vsl.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.einsum("bhs,bhsd->bhd", p, fv,
+                          preferred_element_type=jnp.float32)
+
+    # variant 2: int8 q, int8 x int8 -> int32 QK dot
+    def v2(k8l, v8l, ksl, vsl, ql):
+        qa = jnp.max(jnp.abs(ql), axis=-1, keepdims=True).astype(jnp.float32)
+        q8 = jnp.clip(jnp.round(ql.astype(jnp.float32) / qa * 127), -127,
+                      127).astype(jnp.int8)
+        s32 = jnp.einsum("bhd,bhsd->bhs", q8, k8l,
+                         preferred_element_type=jnp.int32)
+        s = s32.astype(jnp.float32) * (qa / 127.0) * ksl.astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        p = (p * vsl.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.einsum("bhs,bhsd->bhd", p, v8l.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    # variant 3: bf16 cache, no scales
+    def v3(kbl, vbl, ql):
+        s = jnp.einsum("bhd,bhsd->bhs", ql, kbl,
+                       preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+        return jnp.einsum("bhs,bhsd->bhd", p, vbl,
+                          preferred_element_type=jnp.float32)
+
+    # variant 4: int8 PV too (probs quantized per row to int8)
+    def v4(k8l, v8l, ksl, vsl, ql):
+        qa = jnp.max(jnp.abs(ql), axis=-1, keepdims=True).astype(jnp.float32)
+        q8 = jnp.clip(jnp.round(ql.astype(jnp.float32) / qa * 127), -127,
+                      127).astype(jnp.int8)
+        s32 = jnp.einsum("bhd,bhsd->bhs", q8, k8l,
+                         preferred_element_type=jnp.int32)
+        s = s32.astype(jnp.float32) * (qa / 127.0) * ksl.astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        pv = p * vsl.astype(jnp.float32)
+        pa = jnp.max(jnp.abs(pv), axis=-1, keepdims=True) + 1e-9
+        p8 = jnp.clip(jnp.round(pv / pa * 127), -127, 127).astype(jnp.int8)
+        o32 = jnp.einsum("bhs,bhsd->bhd", p8, v8l,
+                         preferred_element_type=jnp.int32)
+        return o32.astype(jnp.float32) * (pa / 127.0)
+
+    timeit("v1 shipped int8->bf16 + scale",
+           scan_layers(v1), k8, v8, ks, vs, q)
+    timeit("v2 int8xint8 QK (int32 MXU)",
+           scan_layers(v2), k8, v8, ks, vs, q)
+    timeit("v3 bf16 cache", scan_layers(v3), kb, vb, q)
+    timeit("v4 int8 QK + int8 PV", scan_layers(v4), k8, v8, ks, vs, q)
+
+
+if __name__ == "__main__":
+    main()
