@@ -283,13 +283,29 @@ class Attention(nn.Module):
         if int4_packed:
             fk, fv = unpack_int4(fk), unpack_int4(fv)
         if frozen_k_scale is not None:
-            fk = fk.astype(x.dtype)   # int8 -> compute dtype (fused read)
+            # QK over the frozen cache as int8 x int8 -> int32 (MXU): q is
+            # quantized per (lane, head) row; skipping the int8->bf16
+            # convert of the whole K read measures ~15% faster at bench
+            # shape (tools/ubench_attn.py v2 vs v1).  q's own quantization
+            # noise (<=0.4% per element over a 64-dot) is far below the K
+            # cache's int8 noise.  V stays int8->bf16: int8 PV loses
+            # (ubench v4) because probs must be re-quantized per row.
             fv = fv.astype(x.dtype)
-
-        sf = jnp.einsum("bthd,bhsd->bhts", q, fk,
-                        preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(d))
-        if frozen_k_scale is not None:
-            sf = sf * self._repeat_kv(frozen_k_scale)[:, :, None, :].astype(jnp.float32)
+            qf = q.astype(jnp.float32)
+            qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) + 1e-9
+            q8 = jnp.clip(jnp.round(qf / qa * 127.0), -127,
+                          127).astype(jnp.int8)
+            s32 = jnp.einsum("bthd,bhsd->bhts", q8, fk,
+                             preferred_element_type=jnp.int32)
+            sf = (s32.astype(jnp.float32)
+                  * (qa.transpose(0, 2, 1, 3)
+                     / (127.0 * jnp.sqrt(jnp.float32(d))))
+                  * self._repeat_kv(frozen_k_scale)[:, :, None, :]
+                  .astype(jnp.float32))
+        else:
+            sf = jnp.einsum("bthd,bhsd->bhts", q, fk,
+                            preferred_element_type=jnp.float32
+                            ) / jnp.sqrt(jnp.float32(d))
         if ring_quant:
             rk = rk.astype(x.dtype)
             rv = rv.astype(x.dtype)

@@ -1,47 +1,53 @@
 """Microbench: decode-attention frozen-read variants at bench shape.
 
-B2=96 lanes, H=16, S=576, D=64, 30 layers folded as a leading dim.
-Each variant loops inside one jit (scan) so tunnel RTT doesn't dominate.
+B2=96 lanes, H=16, S=576, D=64; L layers folded as a leading scan dim
+(L=10 here, scale x3 for the 30-layer model). All data generated on
+device; each variant loops ITERS times inside one jit so tunnel RTT
+doesn't dominate.
 """
-import os
 import sys
 import time
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-B2, H, S, D, L = 96, 16, 576, 64, 30
-ITERS = 30
+B2, H, S, D, L = 96, 16, 576, 64, 10
+ITERS = 20
 
 
 def timeit(name, fn, *args):
     fn_j = jax.jit(fn)
     out = fn_j(*args)
-    np.asarray(jax.tree.leaves(out)[0])[()]  # force
+    np.asarray(out[0, 0, 0])  # force
     t0 = time.time()
     out = fn_j(*args)
-    np.asarray(jax.tree.leaves(out)[0])[()]
+    np.asarray(out[0, 0, 0])
     dt = (time.time() - t0) / ITERS
     print(f"{name:42s} {dt * 1e6:9.1f} us/step-all-layers "
           f"({dt * 1e6 / L:6.1f} us/layer)", file=sys.stderr)
 
 
 def main():
-    rng = np.random.default_rng(0)
-    kf = rng.standard_normal((L, B2, H, S, D)).astype(np.float32)
-    vf = rng.standard_normal((L, B2, H, S, D)).astype(np.float32)
-    q = jnp.asarray(rng.standard_normal((L, B2, H, D)).astype(np.float32)).astype(jnp.bfloat16)
-    k8 = jnp.asarray(np.clip(np.round(kf * 30), -127, 127).astype(np.int8))
-    v8 = jnp.asarray(np.clip(np.round(vf * 30), -127, 127).astype(np.int8))
-    ks = jnp.asarray(rng.standard_normal((L, B2, H, S)).astype(np.float32)).astype(jnp.bfloat16)
-    vs = jnp.asarray(rng.standard_normal((L, B2, H, S)).astype(np.float32)).astype(jnp.bfloat16)
-    kb = jnp.asarray(kf).astype(jnp.bfloat16)
-    vb = jnp.asarray(vf).astype(jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    ks_, vs_, q_, k_, v_ = jax.random.split(key, 5)
 
-    def scan_layers(body, *carriers):
+    @jax.jit
+    def gen():
+        kf = jax.random.normal(k_, (L, B2, H, S, D), jnp.bfloat16)
+        vf = jax.random.normal(v_, (L, B2, H, S, D), jnp.bfloat16)
+        q = jax.random.normal(q_, (L, B2, H, D), jnp.bfloat16)
+        k8 = jnp.clip(jnp.round(kf.astype(jnp.float32) * 30), -127,
+                      127).astype(jnp.int8)
+        v8 = jnp.clip(jnp.round(vf.astype(jnp.float32) * 30), -127,
+                      127).astype(jnp.int8)
+        ks = jax.random.normal(ks_, (L, B2, H, S), jnp.bfloat16)
+        vs = jax.random.normal(vs_, (L, B2, H, S), jnp.bfloat16)
+        return kf, vf, q, k8, v8, ks, vs
+
+    kb, vb, q, k8, v8, ks, vs = jax.block_until_ready(gen())
+
+    def scan_layers(body):
         def run(*args):
             def step(acc, xs):
                 return acc + body(*xs), None
@@ -84,7 +90,7 @@ def main():
         return jnp.einsum("bhs,bhsd->bhd", p, vbl,
                           preferred_element_type=jnp.float32)
 
-    # variant 4: int8 PV too (probs quantized per row to int8)
+    # variant 4: int8 QK + int8 PV (probs quantized per row to int8)
     def v4(k8l, v8l, ksl, vsl, ql):
         qa = jnp.max(jnp.abs(ql), axis=-1, keepdims=True).astype(jnp.float32)
         q8 = jnp.clip(jnp.round(ql.astype(jnp.float32) / qa * 127), -127,
