@@ -106,12 +106,25 @@ def main():
                          preferred_element_type=jnp.int32)
         return o32.astype(jnp.float32) * (pa / 127.0)
 
+    # variant 5: int8 QK (current shipped) + bf16 V read directly
+    def v5(k8l, vbl, ksl, ql):
+        qa = jnp.max(jnp.abs(ql), axis=-1, keepdims=True).astype(jnp.float32)
+        q8 = jnp.clip(jnp.round(ql.astype(jnp.float32) / qa * 127), -127,
+                      127).astype(jnp.int8)
+        s32 = jnp.einsum("bhd,bhsd->bhs", q8, k8l,
+                         preferred_element_type=jnp.int32)
+        s = s32.astype(jnp.float32) * (qa / 127.0) * ksl.astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+        return jnp.einsum("bhs,bhsd->bhd", p, vbl,
+                          preferred_element_type=jnp.float32)
+
     timeit("v1 shipped int8->bf16 + scale",
            scan_layers(v1), k8, v8, ks, vs, q)
     timeit("v2 int8xint8 QK (int32 MXU)",
            scan_layers(v2), k8, v8, ks, vs, q)
     timeit("v3 bf16 cache", scan_layers(v3), kb, vb, q)
     timeit("v4 int8 QK + int8 PV", scan_layers(v4), k8, v8, ks, vs, q)
+    timeit("v5 int8 QK + bf16 V direct", scan_layers(v5), k8, vb, ks, q)
 
 
 if __name__ == "__main__":
