@@ -29,7 +29,7 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
-from ..audio.text import split_text_by_sentence
+from ..audio.text import detect_language, split_text_by_sentence
 from ..config import S3GEN_SR
 
 
@@ -237,7 +237,10 @@ def make_handler(service: TTSService):
                 fmt = req.get("response_format", "wav")
                 stream = bool(req.get("stream", False))
                 kw = dict(
-                    language=req.get("language", "en"),
+                    # explicit language wins; otherwise detect from Unicode
+                    # script ranges (reference openai_tts_server.py:355-381)
+                    language=req.get("language")
+                    or detect_language(text) or "en",
                     exaggeration=float(req.get("exaggeration", 0.5)),
                     temperature=float(req.get("temperature", 0.8)),
                     diffusion_steps=int(req.get("diffusion_steps", 10)),

@@ -88,3 +88,30 @@ def estimate_token_cap(text: str, tokens_per_char: float = 2.2,
     n = sum(1 for c in clean if not c.isspace())
     est = max(tokens_min, min(tokens_max, int(-(-n * tokens_per_char // 1))))
     return int(-(-est * guard_mult // 1))
+
+
+# Unicode script ranges -> language id, checked in priority order (scripts
+# that embed CJK ideographs — Japanese kana, Korean hangul — outrank the
+# CJK block itself; mirrors the reference server's fallback detector,
+# openai_tts_server.py:355-381).
+_SCRIPT_RANGES = (
+    ("he", ((0x0590, 0x05FF),)),                      # Hebrew
+    ("ar", ((0x0600, 0x06FF),)),                      # Arabic
+    ("ru", ((0x0400, 0x04FF),)),                      # Cyrillic
+    ("ko", ((0xAC00, 0xD7AF),)),                      # Hangul syllables
+    ("ja", ((0x3040, 0x309F), (0x30A0, 0x30FF))),     # hiragana + katakana
+    ("zh", ((0x4E00, 0x9FFF),)),                      # CJK ideographs
+)
+
+
+def detect_language(text: str):
+    """Best-effort language id from Unicode script ranges; None when the
+    text is Latin-script/ambiguous (caller falls back to its default)."""
+    if not text:
+        return None
+    cps = {ord(c) for c in text}
+    for lang, ranges in _SCRIPT_RANGES:
+        for lo, hi in ranges:
+            if any(lo <= cp <= hi for cp in cps):
+                return lang
+    return None

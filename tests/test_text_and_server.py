@@ -147,3 +147,18 @@ def test_mtl_preprocess_restores_special_tokens():
     out = t.preprocess("[START]HeLLo[STOP]")
     assert out.startswith("[START]") and out.endswith("[STOP]")
     assert "hello" in out
+
+
+def test_detect_language_unicode_ranges():
+    from chatterbox_tpu.audio.text import detect_language
+    assert detect_language("Hello world.") is None
+    assert detect_language("") is None
+    assert detect_language("שלום עולם") == "he"
+    assert detect_language("مرحبا بالعالم") == "ar"
+    assert detect_language("Привет, мир") == "ru"
+    assert detect_language("안녕하세요") == "ko"
+    # kana outranks the CJK ideograph block (mixed Japanese text)
+    assert detect_language("日本語のテキストです") == "ja"
+    assert detect_language("你好世界") == "zh"
+    # Latin text with an embedded CJK quote still detects the script
+    assert detect_language('He said "你好" to me.') == "zh"
