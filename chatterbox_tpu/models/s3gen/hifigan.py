@@ -154,7 +154,10 @@ class HiFTGenerator(nn.Module):
         window = jnp.asarray(hann_window(c.istft_n_fft))
         s_real, s_imag = stft_realimag(s, window, c.istft_n_fft, c.istft_hop)
         s_stft = jnp.concatenate([s_real, s_imag], axis=1).transpose(0, 2, 1)
-        # [B, T/4 + 1, n_fft + 2]
+        # [B, T/4 + 1, n_fft + 2].  rfft always yields f32; without this
+        # cast the f32 source promotes every sample-rate resblock after the
+        # x + si injection to f32 (~10% of vocode time at bf16 params).
+        s_stft = s_stft.astype(mel.dtype)
 
         x = vmask(Conv1d(base, 7, padding=3, name="conv_pre")(mel), 1)
         down_cum = np.cumprod([1] + list(c.upsample_rates[::-1][:-1]))[::-1]

@@ -66,7 +66,7 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
-def flash_self_attention(q, k, v, kv_len, bq: int = 256, bk: int = 1024,
+def flash_self_attention(q, k, v, kv_len, bq: int = 1024, bk: int = 1024,
                          interpret: bool = False):
     """q, k, v: [B, H, T, D]; kv_len: [B] int32.  Non-causal, key-masked."""
     B, H, T, D = q.shape
