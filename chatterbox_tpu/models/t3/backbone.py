@@ -66,18 +66,31 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray) ->
 
 @dataclasses.dataclass
 class KVCache:
-    """Stacked KV buffers: k/v are [n_layers, B, n_kv, T, head_dim]
-    (head-major so the decode contraction reads unit-stride S x D).
+    """Stacked KV buffers in one of two layouts:
+
+    * head-major (rings, prefill block output): k/v
+      ``[n_layers, B, n_kv, T, head_dim]``.
+    * packed-heads (the engine's frozen cache): k/v
+      ``[n_layers, B, T, n_kv * head_dim]``.  Folding heads into the minor
+      dim makes it 1024 = 8 x (8, 128) tiles, so the layout XLA's decode
+      dots prefer IS the compact storage layout.  With the head-major cache
+      XLA materialized a D-minor (8,128)-tiled copy of the whole cache per
+      decode chunk — head_dim 64 padded to 128 lanes, 2x HBM and 2x the
+      bytes/VPU-converts of every decode step's dominant read (the copies
+      are visible in the compiled HLO, tools/dump_decode_hlo.py, and were
+      the direct cause of a B=96 OOM).  The packed QK/PV dots use a
+      block-diagonal q/output trick (M = n_heads MXU matmuls; the n_heads x
+      MAC waste is free next to the saved bytes — tools/ubench_attn.py v9).
 
     Optional int8 mode: k/v stored int8 with per-(layer, lane, head, pos)
-    float32 scales — halves the dominant decode HBM read; dequant folds into
-    the attention einsums (scale is per key position, so it factors out).
+    scales — halves the dominant decode HBM read; dequant folds into the
+    attention einsums (scale is per key position, so it factors out).
 
     Optional int4 mode (bits=4): two 4-bit codes nibble-packed into one int8
-    along head_dim (last dim = head_dim // 2) — quarters the decode HBM read;
-    unpacking is two shifts fused into the attention read.  ``jnp.int4`` is
-    avoided on purpose: the dtype is not reliably lowered on all backends in
-    this tree, packed-int8 is."""
+    along the minor dim — quarters the decode HBM read; unpacking is two
+    shifts fused into the attention read.  ``jnp.int4`` is avoided on
+    purpose: the dtype is not reliably lowered on all backends in this tree,
+    packed-int8 is."""
     k: jnp.ndarray
     v: jnp.ndarray
     k_scale: Optional[jnp.ndarray] = None   # [L, B, H, T] when int8/int4
@@ -85,22 +98,31 @@ class KVCache:
 
     @classmethod
     def zeros(cls, cfg: T3ModelConfig, batch: int, length: int,
-              dtype=jnp.bfloat16, bits: int = 8):
+              dtype=jnp.bfloat16, bits: int = 8, packed: bool = False):
         d = cfg.head_dim // 2 if (dtype == jnp.int8 and bits == 4) \
             else cfg.head_dim
-        shape = (cfg.n_layers, batch, cfg.n_kv_heads, length, d)
+        if packed:
+            shape = (cfg.n_layers, batch, length, cfg.n_kv_heads * d)
+            sshape = (cfg.n_layers, batch, cfg.n_kv_heads, length)
+        else:
+            shape = (cfg.n_layers, batch, cfg.n_kv_heads, length, d)
+            sshape = shape[:-1]
         if dtype == jnp.int8:
             # scales in bf16: the dequant product is computed in f32 anyway
             # and bf16 halves the per-step scale read + cache footprint
             return cls(k=jnp.zeros(shape, jnp.int8),
                        v=jnp.zeros(shape, jnp.int8),
-                       k_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
-                       v_scale=jnp.zeros(shape[:-1], jnp.bfloat16))
+                       k_scale=jnp.zeros(sshape, jnp.bfloat16),
+                       v_scale=jnp.zeros(sshape, jnp.bfloat16))
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
+    def packed(self) -> bool:
+        return self.k.ndim == 4
+
+    @property
     def length(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[2] if self.packed else self.k.shape[3]
 
     @property
     def quantized(self) -> bool:
@@ -136,6 +158,19 @@ def quantize_kv(x: jnp.ndarray, bits: int = 8):
     if bits == 4:
         q = pack_int4(q)
     return q, scale
+
+
+def pack_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """Head-major [..., H, T, D] -> packed-heads [..., T, H * D]."""
+    moved = jnp.moveaxis(x, -3, -2)                  # [..., T, H, D]
+    return moved.reshape(*moved.shape[:-2], -1)
+
+
+def quantize_kv_packed(x: jnp.ndarray, bits: int = 8):
+    """Head-major float [..., H, T, D] -> (packed int8 [..., T, H*D or
+    H*D/2], per-(head, position) scales [..., H, T])."""
+    q, scale = quantize_kv(x, bits)                  # [..., H, T, D'], [..., H, T]
+    return pack_heads(q), scale
 
 
 def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
@@ -231,9 +266,12 @@ class Attention(nn.Module):
             return _dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out), kc, vc
 
         # ---- decode mode ----
-        int4_packed = frozen_k.shape[-1] == d // 2
+        heads_packed = frozen_k.ndim == 3          # [B, S, Hkv * D']
+        int4_packed = frozen_k.shape[-1] == \
+            (cfg.n_kv_heads * d // 2 if heads_packed else d // 2)
         if (cfg.fused_decode and cfg.n_kv_heads == cfg.n_heads
-                and not int4_packed and not cfg.align_enabled
+                and not int4_packed and not heads_packed
+                and not cfg.align_enabled
                 and ring_k_scale is None
                 and not self.is_initializing()
                 and jax.default_backend() == "tpu"):
@@ -251,7 +289,7 @@ class Attention(nn.Module):
             return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
                     nrk, nrv, None, None, jnp.zeros((B, 0), jnp.float32))
 
-        S = frozen_k.shape[2]
+        S = frozen_k.shape[1] if heads_packed else frozen_k.shape[2]
         C = ring_k.shape[2]
         ring_quant = ring_k_scale is not None
         kt = k.transpose(0, 2, 1, 3)                        # [B, H, 1, D]
@@ -277,6 +315,12 @@ class Attention(nn.Module):
             new_ring_v = jax.lax.dynamic_update_slice(
                 ring_v, vt.astype(ring_v.dtype), (0, 0, ring_idx, 0))
             new_rks = new_rvs = None
+
+        if heads_packed:
+            return self._decode_packed(
+                x, q, frozen_k, frozen_v, frozen_k_scale, frozen_v_scale,
+                frozen_len, new_ring_k, new_ring_v, new_rks, new_rvs,
+                ring_idx, int4_packed)
 
         fk, fv = self._repeat_kv(frozen_k), self._repeat_kv(frozen_v)
         rk, rv = self._repeat_kv(new_ring_k), self._repeat_kv(new_ring_v)
@@ -345,6 +389,100 @@ class Attention(nn.Module):
                + jnp.einsum("bhtc,bhcd->bthd", pr, rv)).reshape(B, T, -1)
         return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
                 new_ring_k, new_ring_v, new_rks, new_rvs, align)
+
+
+    def _decode_packed(self, x, q, frozen_k, frozen_v, fk_scale, fv_scale,
+                       frozen_len, ring_k, ring_v, rks, rvs, ring_idx,
+                       int4_packed):
+        """Decode attention over the packed-heads frozen cache.
+
+        frozen_k/v: [B, S, Hkv * D'] (D' = D or D/2 when int4);
+        fk/fv_scale: [B, Hkv, S] or None; ring_*: head-major as usual.
+        The QK dot uses a block-diagonal q (each q head's row occupies its
+        kv head's D-slice of the packed minor dim) and the PV dot computes
+        [Hq, Hkv * D] then extracts each head's own block — M = n_heads MXU
+        matmuls whose n_heads-fold MAC overhead is far cheaper than the
+        D-minor relayout XLA makes for per-head matvecs (ubench v9/v10,
+        docs/PERF.md)."""
+        cfg = self.cfg
+        d = cfg.head_dim
+        Hq, Hkv = cfg.n_heads, cfg.n_kv_heads
+        B = x.shape[0]
+        kv_of = jnp.arange(Hq) // max(1, Hq // Hkv)       # q head -> kv head
+        onehot = (kv_of[:, None] == jnp.arange(Hkv)[None, :])  # [Hq, Hkv]
+
+        fkp, fvp = frozen_k, frozen_v
+        if int4_packed:
+            fkp, fvp = unpack_int4(fkp), unpack_int4(fvp)
+        S = fkp.shape[1]
+        C = ring_k.shape[2]
+        q1 = q[:, 0]                                       # [B, Hq, D]
+
+        if fk_scale is not None:
+            # int8 x int8 QK on the MXU (see the head-major path note)
+            qf = q1.astype(jnp.float32)
+            qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) + 1e-9
+            q8 = jnp.clip(jnp.round(qf / qa * 127.0), -127,
+                          127).astype(jnp.int8)
+            qbd = (q8[:, :, None, :]
+                   * onehot.astype(jnp.int8)[None, :, :, None]
+                   ).reshape(B, Hq, Hkv * d)
+            s32 = jnp.einsum("bhD,bsD->bhs", qbd, fkp,
+                             preferred_element_type=jnp.int32)
+            ks_h = fk_scale[:, kv_of]                      # [B, Hq, S]
+            sf = (s32.astype(jnp.float32)
+                  * (qa / (127.0 * jnp.sqrt(jnp.float32(d))))
+                  * ks_h.astype(jnp.float32))
+        else:
+            qbd = (q1[:, :, None, :]
+                   * onehot.astype(x.dtype)[None, :, :, None]
+                   ).reshape(B, Hq, Hkv * d)
+            sf = jnp.einsum("bhD,bsD->bhs", qbd, fkp.astype(x.dtype),
+                            preferred_element_type=jnp.float32
+                            ) / jnp.sqrt(jnp.float32(d))
+
+        rk = self._repeat_kv(ring_k)
+        rv = self._repeat_kv(ring_v)
+        ring_quant = rks is not None
+        if ring_quant:
+            rk = rk.astype(x.dtype)
+            rv = rv.astype(x.dtype)
+        qb = q1.astype(x.dtype)
+        sr = jnp.einsum("bhd,bhcd->bhc", qb, rk,
+                        preferred_element_type=jnp.float32
+                        ) / jnp.sqrt(jnp.float32(d))
+        if ring_quant:
+            sr = sr * self._repeat_kv(rks).astype(jnp.float32)
+
+        f_valid = (jnp.arange(S)[None, :] < frozen_len[:, None])[:, None, :]
+        r_valid = (jnp.arange(C) <= ring_idx)[None, None, :]
+        sf = jnp.where(f_valid, sf, -1e30)
+        sr = jnp.where(r_valid, sr, -1e30)
+
+        m = jnp.maximum(jnp.max(sf, axis=-1, keepdims=True),
+                        jnp.max(sr, axis=-1, keepdims=True))
+        ef = jnp.exp(sf - m)
+        er = jnp.exp(sr - m)
+        denom = jnp.sum(ef, -1, keepdims=True) + jnp.sum(er, -1, keepdims=True)
+        pf = ef / denom
+        pr = (er / denom).astype(x.dtype)
+        align = (jnp.mean(pf, axis=1).astype(jnp.float32)
+                 if cfg.align_enabled else jnp.zeros((B, 0), jnp.float32))
+        if fv_scale is not None:
+            pf = pf * fv_scale[:, kv_of].astype(jnp.float32)
+        if ring_quant:
+            pr = (pr.astype(jnp.float32)
+                  * self._repeat_kv(rvs).astype(jnp.float32)).astype(x.dtype)
+        pf = pf.astype(x.dtype)
+        of = jnp.einsum("bhs,bsD->bhD", pf, fvp.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+        of = jnp.einsum("bhgd,hg->bhd", of.reshape(B, Hq, Hkv, d),
+                        onehot.astype(jnp.float32))
+        orr = jnp.einsum("bhc,bhcd->bhd", pr, rv,
+                         preferred_element_type=jnp.float32)
+        out = (of + orr).astype(x.dtype).reshape(B, 1, Hq * d)
+        return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
+                ring_k, ring_v, rks, rvs, align)
 
 
 class MLP(nn.Module):

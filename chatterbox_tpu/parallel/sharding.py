@@ -97,9 +97,10 @@ def shard_params(params, mesh: Mesh, spec_tree) -> Any:
 
 
 def kv_cache_spec(quantized: bool = False):
-    """KV cache [L, B2, heads, S, hd]: batch lanes on dp, heads on tp.
-    Returns (value_spec, scale_spec)."""
-    return (P(None, "dp", "tp", None, None),
+    """Packed-heads KV cache: values [L, B2, S, heads * hd] (lanes on dp,
+    the folded heads*hd minor dim on tp), scales [L, B2, heads, S] (heads on
+    tp).  Returns (value_spec, scale_spec)."""
+    return (P(None, "dp", None, "tp"),
             P(None, "dp", "tp", None) if quantized else None)
 
 

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import T3ModelConfig, EngineConfig
-from ..models.t3.backbone import KVCache, quantize_kv
+from ..models.t3.backbone import (KVCache, pack_heads, quantize_kv,
+                                  quantize_kv_packed)
 from ..models.t3.model import T3Model
 from ..ops.sampling import SamplerState, SamplingParams, sample_step
 
@@ -84,22 +85,22 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-def _merge_ring(frozen, ring, g0, n_new):
-    """Merge ring [L, B2, H, C, ...] into frozen [L, B2, H, S, ...] on axis 3:
-    for lane b, ring[c] -> frozen[g0[b] + c] for c < n_new[b].  Works for 5-D
-    value arrays and 4-D scale arrays."""
-    S = frozen.shape[3]
-    C = ring.shape[3]
+def _merge_ring(frozen, ring, g0, n_new, axis=3):
+    """Merge ring into frozen along the position ``axis``: for lane b,
+    ring[c] -> frozen[g0[b] + c] for c < n_new[b].  axis=3 for scale arrays
+    [L, B2, H, S]; axis=2 for packed value arrays [L, B2, S, H*D]."""
+    S = frozen.shape[axis]
+    C = ring.shape[axis]
     s = jnp.arange(S)[None, :]
     c = s - g0[:, None]                             # [B2, S]
     use = (c >= 0) & (c < n_new[:, None])
     cidx = jnp.clip(c, 0, C - 1)
-    idx = cidx[None, :, None, :]
-    usex = use[None, :, None, :]
-    for _ in range(frozen.ndim - 4):
-        idx = idx[..., None]
-        usex = usex[..., None]
-    gathered = jnp.take_along_axis(ring, idx, axis=3)
+    shape = [1] * frozen.ndim
+    shape[1] = frozen.shape[1]
+    shape[axis] = S
+    idx = cidx.reshape(shape)
+    usex = use.reshape(shape)
+    gathered = jnp.take_along_axis(ring, idx, axis=axis)
     return jnp.where(usex, gathered.astype(frozen.dtype), frozen)
 
 
@@ -166,7 +167,7 @@ class T3Engine:
     def reset(self):
         cfgm, B, S = self.cfg, self.B, self.S
         self.cache = KVCache.zeros(cfgm, 2 * B, S, self._kv_dtype,
-                                   bits=self._kv_bits)
+                                   bits=self._kv_bits, packed=True)
         if self.mesh is not None:
             from jax.sharding import NamedSharding
             from ..parallel.sharding import kv_cache_spec
@@ -252,19 +253,21 @@ class T3Engine:
         P = pre_k.shape[3]
         lane_ids = jnp.stack([slot_ids * 2, slot_ids * 2 + 1], axis=1).reshape(-1)
         if cache.quantized:
-            kq, ks = quantize_kv(pre_k, self._kv_bits)
-            vq, vs = quantize_kv(pre_v, self._kv_bits)
+            kq, ks = quantize_kv_packed(pre_k, self._kv_bits)
+            vq, vs = quantize_kv_packed(pre_v, self._kv_bits)
             ks = ks.astype(cache.k_scale.dtype)
             vs = vs.astype(cache.v_scale.dtype)
             new_cache = KVCache(
-                k=cache.k.at[:, lane_ids, :, :P].set(kq),
-                v=cache.v.at[:, lane_ids, :, :P].set(vq),
+                k=cache.k.at[:, lane_ids, :P].set(kq),
+                v=cache.v.at[:, lane_ids, :P].set(vq),
                 k_scale=cache.k_scale.at[:, lane_ids, :, :P].set(ks),
                 v_scale=cache.v_scale.at[:, lane_ids, :, :P].set(vs))
         else:
             new_cache = KVCache(
-                k=cache.k.at[:, lane_ids, :, :P].set(pre_k.astype(cache.k.dtype)),
-                v=cache.v.at[:, lane_ids, :, :P].set(pre_v.astype(cache.v.dtype)))
+                k=cache.k.at[:, lane_ids, :P].set(
+                    pack_heads(pre_k).astype(cache.k.dtype)),
+                v=cache.v.at[:, lane_ids, :P].set(
+                    pack_heads(pre_v).astype(cache.v.dtype)))
 
         sid = slot_ids
         st = st._replace(
@@ -328,8 +331,8 @@ class T3Engine:
         # s_active is bucketed by the engine so early decode steps don't
         # stream the whole max_model_len cache.
         fro = KVCache(
-            k=frozen.k[:, :, :, :s_active],
-            v=frozen.v[:, :, :, :s_active],
+            k=frozen.k[:, :, :s_active],
+            v=frozen.v[:, :, :s_active],
             k_scale=None if frozen.k_scale is None
             else frozen.k_scale[:, :, :, :s_active],
             v_scale=None if frozen.v_scale is None
@@ -421,65 +424,66 @@ class T3Engine:
         dp shards under SPMD."""
         g0_l = jnp.repeat(g0, 2)
         n_l = jnp.repeat(n_new, 2)
+        # ring (head-major) -> packed rows [L, B2, C, H*D'] + scales [L,B2,H,C]
         if frozen.quantized and ring.quantized:
             if self._kv_bits == 8:     # int8 ring slots straight in
-                rkq, rks = ring.k, ring.k_scale
-                rvq, rvs = ring.v, ring.v_scale
+                rkq, rks = pack_heads(ring.k), ring.k_scale
+                rvq, rvs = pack_heads(ring.v), ring.v_scale
             else:                       # int4 frozen: repack the int8 ring
                 kf = ring.k.astype(jnp.float32) * \
                     ring.k_scale[..., None].astype(jnp.float32)
                 vf = ring.v.astype(jnp.float32) * \
                     ring.v_scale[..., None].astype(jnp.float32)
-                rkq, rks = quantize_kv(kf, 4)
-                rvq, rvs = quantize_kv(vf, 4)
+                rkq, rks = quantize_kv_packed(kf, 4)
+                rvq, rvs = quantize_kv_packed(vf, 4)
             rks = rks.astype(frozen.k_scale.dtype)
             rvs = rvs.astype(frozen.v_scale.dtype)
         elif frozen.quantized:
-            rkq, rks = quantize_kv(ring.k, self._kv_bits)
-            rvq, rvs = quantize_kv(ring.v, self._kv_bits)
+            rkq, rks = quantize_kv_packed(ring.k, self._kv_bits)
+            rvq, rvs = quantize_kv_packed(ring.v, self._kv_bits)
             rks = rks.astype(frozen.k_scale.dtype)
             rvs = rvs.astype(frozen.v_scale.dtype)
         else:
-            rkq, rvq, rks, rvs = ring.k, ring.v, None, None
+            rkq, rvq = pack_heads(ring.k), pack_heads(ring.v)
+            rks = rvs = None
 
         if self.mesh is not None:
             if frozen.quantized:
                 return KVCache(
-                    k=_merge_ring(frozen.k, rkq, g0_l, n_l),
-                    v=_merge_ring(frozen.v, rvq, g0_l, n_l),
+                    k=_merge_ring(frozen.k, rkq, g0_l, n_l, axis=2),
+                    v=_merge_ring(frozen.v, rvq, g0_l, n_l, axis=2),
                     k_scale=_merge_ring(frozen.k_scale, rks, g0_l, n_l),
                     v_scale=_merge_ring(frozen.v_scale, rvs, g0_l, n_l))
             return KVCache(
-                k=_merge_ring(frozen.k, rkq, g0_l, n_l),
-                v=_merge_ring(frozen.v, rvq, g0_l, n_l))
+                k=_merge_ring(frozen.k, rkq, g0_l, n_l, axis=2),
+                v=_merge_ring(frozen.v, rvq, g0_l, n_l, axis=2))
 
         C = ring.k.shape[3]
-        L, B2, H, S = frozen.k.shape[:4]
-        cm5 = jnp.arange(C)[None, None, None, :, None]
-        cm4 = jnp.arange(C)[None, None, None, :]
+        L, B2, S, HD = frozen.k.shape
+        H = frozen.k_scale.shape[2] if frozen.quantized else self.cfg.n_kv_heads
+        cm4v = jnp.arange(C)[None, None, :, None]     # packed values, axis 2
+        cm4s = jnp.arange(C)[None, None, None, :]     # scales, axis 3
         fk, fv = frozen.k, frozen.v
         ks, vs = frozen.k_scale, frozen.v_scale
         for b in range(B2):
             off = jnp.minimum(g0_l[b], S - C)
             rel0 = g0_l[b] - off          # >0 only when g0 near cache end
             src = jnp.clip(jnp.arange(C) - rel0, 0, C - 1)
-            keep5 = (cm5 >= rel0) & (cm5 < rel0 + n_l[b])
-            keep4 = (cm4 >= rel0) & (cm4 < rel0 + n_l[b])
+            keep4v = (cm4v >= rel0) & (cm4v < rel0 + n_l[b])
+            keep4s = (cm4s >= rel0) & (cm4s < rel0 + n_l[b])
 
             def upd(fro, u):
-                D = fro.shape[4]
                 old = jax.lax.dynamic_slice(
-                    fro, (0, b, 0, off, 0), (L, 1, H, C, D))
-                un = jnp.take(u[:, b][:, None], src, axis=3)
-                new = jnp.where(keep5, un.astype(fro.dtype), old)
-                return jax.lax.dynamic_update_slice(
-                    fro, new, (0, b, 0, off, 0))
+                    fro, (0, b, off, 0), (L, 1, C, fro.shape[3]))
+                un = jnp.take(u[:, b][:, None], src, axis=2)
+                new = jnp.where(keep4v, un.astype(fro.dtype), old)
+                return jax.lax.dynamic_update_slice(fro, new, (0, b, off, 0))
 
             def upd_s(fro, u):
                 old = jax.lax.dynamic_slice(
                     fro, (0, b, 0, off), (L, 1, H, C))
                 un = jnp.take(u[:, b][:, None], src, axis=3)
-                new = jnp.where(keep4, un.astype(fro.dtype), old)
+                new = jnp.where(keep4s, un.astype(fro.dtype), old)
                 return jax.lax.dynamic_update_slice(fro, new, (0, b, 0, off))
 
             fk = upd(fk, rkq)

@@ -173,3 +173,60 @@ def test_int4_kv_engine_runs():
         valid = (r.tokens < cfg.start_speech_token) | \
             (r.tokens == cfg.stop_speech_token)
         assert valid.all()
+
+
+def test_packed_heads_decode_matches_head_major():
+    """Packed-heads frozen cache ([B, S, H*D] + block-diagonal q/output
+    dots) gives the same decode logits as the head-major path, for both the
+    float and int8-quantized cache."""
+    from chatterbox_tpu.models.t3.backbone import (KVCache, pack_heads,
+                                                   quantize_kv,
+                                                   quantize_kv_packed)
+    cfg = T3ModelConfig.tiny()
+    model = T3Model(cfg)
+    rng = jax.random.PRNGKey(3)
+    B, Tt = 2, 6
+    params = jax.jit(lambda r: model.init(
+        r, jnp.zeros((B, cfg.speaker_embed_size)),
+        jnp.zeros((B, 4), jnp.int32), 0.5 * jnp.ones((B, 1)),
+        jnp.zeros((B, Tt), jnp.int32), jnp.full((B,), Tt, jnp.int32),
+        method=lambda m, *a: m.init_all(*a)))(rng)
+
+    cond = jax.random.normal(rng, (B, cfg.cond_len, cfg.hidden_size)) * 0.2
+    text = jax.random.randint(rng, (B, Tt), 0, cfg.text_vocab_size)
+    tlen = jnp.full((B,), Tt, jnp.int32)
+    cfgs = jnp.full((B,), 0.5)
+
+    def prefill(m):
+        embeds, plen = m.build_prompt_embeds(cond, text, tlen)
+        return m.prefill(embeds, plen, cfgs), plen
+
+    (logits, fkv), plen = model.apply(params, method=lambda m: prefill(m))
+    toks = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    def decode(m, frozen):
+        ring = KVCache.zeros(cfg, 2 * B, 4,
+                             jnp.bfloat16 if frozen.quantized else frozen.k.dtype)
+        return m.decode_step(toks, jnp.ones((B,), jnp.int32), plen,
+                             frozen, plen, ring, jnp.int32(0), cfgs)[0]
+
+    # float: packed vs head-major must agree to numerical noise
+    ref = model.apply(params, method=lambda m: decode(m, fkv))
+    packed = KVCache(k=pack_heads(fkv.k), v=pack_heads(fkv.v))
+    out = model.apply(params, method=lambda m: decode(m, packed))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0, atol=2e-2)
+
+    # int8: packed-quantized vs head-major-quantized
+    k8, ks = quantize_kv(fkv.k)
+    v8, vs = quantize_kv(fkv.v)
+    ref8 = model.apply(params, method=lambda m: decode(
+        m, KVCache(k=k8, v=v8, k_scale=ks, v_scale=vs)))
+    kp, ksp = quantize_kv_packed(fkv.k)
+    vp, vsp = quantize_kv_packed(fkv.v)
+    out8 = model.apply(params, method=lambda m: decode(
+        m, KVCache(k=kp, v=vp, k_scale=ksp, v_scale=vsp)))
+    np.testing.assert_allclose(np.asarray(out8, np.float32),
+                               np.asarray(ref8, np.float32),
+                               rtol=0, atol=5e-2)
