@@ -89,3 +89,26 @@ def test_sampling_respects_mask():
         toks, st = sample_step(logits, params, st._replace(
             seen=jnp.zeros_like(st.seen)))
         assert int(toks[0]) == 1
+
+
+def test_top_p_bisection_matches_sorted_reference():
+    """The sort-free nucleus must match the exact sorted-cumsum nucleus."""
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((8, 512)) * 3.0)
+    top_p = jnp.asarray(rng.uniform(0.1, 0.95, size=8).astype(np.float32))
+    out = np.asarray(top_p_min_p_mask(logits, top_p, jnp.zeros(8)))
+
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1), np.float64)
+    for b in range(8):
+        order = np.argsort(-probs[b])
+        cum = np.cumsum(probs[b][order])
+        keep_sorted = (cum - probs[b][order]) < float(top_p[b])
+        ref_keep = np.zeros(512, bool)
+        ref_keep[order[keep_sorted]] = True
+        got_keep = np.isfinite(out[b])
+        # identical except possibly tokens within bisection resolution of
+        # the threshold
+        tau = probs[b][order][keep_sorted].min()
+        fuzzy = np.abs(probs[b] - tau) < 1e-6
+        assert (got_keep == ref_keep)[~fuzzy].all()
+        assert got_keep.sum() >= 1

@@ -68,8 +68,13 @@ def main():
         engine.reset()
     print(f"warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    prof_dir = os.environ.get("CHATTERBOX_PROFILE")
     t0 = time.time()
-    results = engine.generate(reqs)
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            results = engine.generate(reqs)
+    else:
+        results = engine.generate(reqs)
     t3_time = time.time() - t0
     total_tokens = sum(len(r.tokens) for r in results)
     print(f"[T3] kv={kv_dtype} B={B}: {total_tokens} tokens in "
