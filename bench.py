@@ -91,7 +91,11 @@ def main():
     # ---------------- S3Gen ----------------
     scfg = S3GenConfig()
     s3gen = S3Gen(scfg)
-    B, Tp = 16, 100
+    # B=8 is the measured per-sample optimum on v5e (tools/bench_s3gen.py:
+    # 134.5 ms/sample vs 147 at B=16, 159 at B=32 — the T^2 flash attention
+    # dominates and bigger batches only add VMEM/HBM pressure); matches the
+    # api.tts.vocode_batch default bucket.
+    B, Tp = 8, 100
     Tg = 400
     T = Tp + Tg
     tokens = jnp.zeros((B, T), jnp.int32)

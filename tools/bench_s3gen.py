@@ -56,11 +56,19 @@ def main():
     print(f"compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
     n_calls = 4
+    prof_dir = os.environ.get("CHATTERBOX_PROFILE")
     t0 = time.time()
-    for _ in range(n_calls):
-        wav, wl = vocode(sparams, tokens, token_len, pfeat, pflen, emb,
-                         noise, rngs)
-        _ = np.asarray(wav[0, :4])
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            wav, wl = vocode(sparams, tokens, token_len, pfeat, pflen, emb,
+                             noise, rngs)
+            _ = np.asarray(wav[0, :4])
+        n_calls = 1
+    else:
+        for _ in range(n_calls):
+            wav, wl = vocode(sparams, tokens, token_len, pfeat, pflen, emb,
+                             noise, rngs)
+            _ = np.asarray(wav[0, :4])
     dt = (time.time() - t0) / n_calls
     audio = B * Tg / S3_TOKEN_RATE
     print(f"[S3Gen] B={B} Tg={Tg} steps={steps}: {dt:.3f} s/call "
