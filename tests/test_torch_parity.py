@@ -246,3 +246,71 @@ def test_upsample_conformer_encoder_matches_reference_torch():
     err = np.abs(got[:, :n] - ref_out).max()
     scale = np.abs(ref_out).max()
     assert err < 3e-3 * scale, (err, scale)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_t3_backbone_matches_hf_llama():
+    """Our scanned Llama trunk must reproduce HF transformers' LlamaModel
+    (the reference's backbone is vLLM's LlamaModel instantiated from
+    t3-model/config.json — same architecture family: RMSNorm eps 1e-5,
+    llama3-scaled RoPE theta 5e5, SwiGLU, no biases) on identical weights
+    and input embeddings."""
+    import jax
+    import jax.numpy as jnp
+    transformers = pytest.importorskip("transformers")
+    from transformers.models.llama import LlamaConfig, LlamaModel
+
+    from chatterbox_tpu.config import T3ModelConfig
+    from chatterbox_tpu.models.t3.model import T3Model
+    from chatterbox_tpu.models.t3.weights import convert_t3_params
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_weights import _rand_t3_sd
+
+    cfg = T3ModelConfig.tiny()
+    hf_cfg = LlamaConfig(
+        hidden_size=cfg.hidden_size, num_hidden_layers=cfg.n_layers,
+        num_attention_heads=cfg.n_heads, num_key_value_heads=cfg.n_kv_heads,
+        head_dim=cfg.head_dim, intermediate_size=cfg.intermediate_size,
+        vocab_size=8, rms_norm_eps=cfg.rms_norm_eps,
+        rope_theta=cfg.rope_theta,
+        rope_scaling={"rope_type": "llama3",
+                      "factor": cfg.rope_scaling_factor,
+                      "low_freq_factor": cfg.rope_low_freq_factor,
+                      "high_freq_factor": cfg.rope_high_freq_factor,
+                      "original_max_position_embeddings": cfg.rope_original_max_pos},
+        attention_bias=False, mlp_bias=False,
+        max_position_embeddings=4096, tie_word_embeddings=False,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    hf = LlamaModel(hf_cfg).float().eval()
+
+    B, T = 2, 12
+    embeds = torch.randn(B, T, cfg.hidden_size) * 0.5
+    with torch.no_grad():
+        ref = hf(inputs_embeds=embeds,
+                 attention_mask=torch.ones(B, T, dtype=torch.long)
+                 ).last_hidden_state.numpy()
+
+    # route HF trunk weights through our reference-layout converter
+    sd = _rand_t3_sd(cfg, np.random.default_rng(1))
+    hf_sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    names = ("self_attn.q_proj.weight", "self_attn.k_proj.weight",
+             "self_attn.v_proj.weight", "self_attn.o_proj.weight",
+             "mlp.gate_proj.weight", "mlp.up_proj.weight",
+             "mlp.down_proj.weight", "input_layernorm.weight",
+             "post_attention_layernorm.weight")
+    for i in range(cfg.n_layers):
+        for nm in names:
+            sd[f"tfmr.layers.{i}.{nm}"] = hf_sd[f"layers.{i}.{nm}"]
+    sd["tfmr.norm.weight"] = hf_sd["norm.weight"]
+    params = convert_t3_params(sd, cfg)
+
+    model = T3Model(cfg)
+    x = jnp.asarray(embeds.numpy())
+    positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    vlen = jnp.full((B,), T, jnp.int32)
+    hidden, _ = model.apply(
+        params, method=lambda m: m.backbone(x, positions, vlen, mode="block"))
+    got = np.asarray(hidden, np.float32)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=0, atol=3e-4)
