@@ -112,3 +112,24 @@ def test_top_p_bisection_matches_sorted_reference():
         fuzzy = np.abs(probs[b] - tau) < 1e-6
         assert (got_keep == ref_keep)[~fuzzy].all()
         assert got_keep.sum() >= 1
+
+
+def test_flash_attention_matches_reference_softmax():
+    """Pallas flash kernel (interpret mode on CPU) vs the plain masked
+    softmax attention it replaces, including ragged kv lengths and the
+    T -> block-multiple padding path."""
+    from chatterbox_tpu.ops.flash_attention import flash_self_attention
+    from chatterbox_tpu.utils.layers import masked_softmax_attention
+
+    rng = np.random.default_rng(5)
+    B, H, T, D = 2, 3, 200, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    lens = jnp.asarray([200, 137], jnp.int32)
+
+    got = flash_self_attention(q, k, v, lens, bq=128, bk=128, interpret=True)
+    key_mask = (jnp.arange(T)[None, :] < lens[:, None])[:, None, None, :]
+    ref = masked_softmax_attention(q, k, v, key_mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=2e-5)
