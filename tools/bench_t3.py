@@ -19,6 +19,7 @@ def main():
     kv_dtype = sys.argv[1] if len(sys.argv) > 1 else "int8"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 48
     S = int(sys.argv[3]) if len(sys.argv) > 3 else 576
+    chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 
     from chatterbox_tpu.config import EngineConfig, T3ModelConfig
     from chatterbox_tpu.models.t3.model import T3Model
@@ -32,7 +33,7 @@ def main():
 
     base_cfg = T3ModelConfig()
     cfg = dataclasses.replace(base_cfg, quant_weights=True)
-    eng = EngineConfig(max_batch_size=B, max_model_len=S, decode_chunk=32,
+    eng = EngineConfig(max_batch_size=B, max_model_len=S, decode_chunk=chunk,
                        kv_dtype=kv_dtype)
     base_model = T3Model(base_cfg)
     model = T3Model(cfg)
@@ -77,7 +78,7 @@ def main():
         results = engine.generate(reqs)
     t3_time = time.time() - t0
     total_tokens = sum(len(r.tokens) for r in results)
-    print(f"[T3] kv={kv_dtype} B={B}: {total_tokens} tokens in "
+    print(f"[T3] kv={kv_dtype} B={B} chunk={chunk}: {total_tokens} tokens in "
           f"{t3_time:.2f}s -> {total_tokens / t3_time:.1f} tok/s",
           file=sys.stderr)
 
