@@ -178,6 +178,8 @@ class EngineConfig:
     max_batch_size: int = 16
     max_model_len: int = 1000
     decode_chunk: int = 8           # decode steps per jitted chunk (host sync cadence)
+    pipelined_harvest: bool = False  # async one-chunk-late harvest (see
+    # T3Engine.generate; wins when host<->device sync RTT is high)
     prefill_buckets: tuple = (64, 128, 256, 512, 1024)
     cfg_scale: float = 0.5          # default; per-request override supported
     kv_dtype: str = "bfloat16"      # or "int8" / "int4" (nibble-packed)

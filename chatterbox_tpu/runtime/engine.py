@@ -500,7 +500,21 @@ class T3Engine:
     # C++ scheduler; runtime/native.py falls back to Python if unbuilt)
     # ------------------------------------------------------------------
     def generate(self, requests: List[Request], progress: bool = False) -> List[Result]:
-        """Run all requests to completion with continuous slot refill."""
+        """Run all requests to completion with continuous slot refill.
+
+        Two harvest modes:
+        * synchronous (default): one device_get of the slot flags per chunk.
+        * pipelined (``CHATTERBOX_PIPELINED_HARVEST=1`` or
+          EngineConfig.pipelined_harvest): snapshot the flags into fresh
+          buffers, start their device->host copy asynchronously, and consume
+          them one chunk later — the host never stalls the device on a sync.
+          Correct because a finished slot's n_generated/out_buf rows are
+          frozen (done lanes are masked) and the scheduler ignores done
+          flags for slots it already freed; the cost is one-chunk-delayed
+          slot recycling.  Wins when the host<->device round trip is slow
+          (the tunneled chip's sync RTT varies 6-30+ ms); loses a little
+          when RTT is low (extra snapshot dispatches).
+        """
         from .native import NativeScheduler
         eng = self.eng
         sched = NativeScheduler(self.B, self.S)
@@ -513,6 +527,12 @@ class T3Engine:
         needs_top_p = any(r.top_p < 1.0 - 1e-6 for r in requests)
         phase = {"admit": 0.0, "decode": 0.0, "merge": 0.0, "harvest": 0.0}
         n_chunks = 0
+        pipelined = bool(getattr(eng, "pipelined_harvest", False)
+                         or os.environ.get("CHATTERBOX_PIPELINED_HARVEST"))
+        if pipelined:
+            return self._generate_pipelined(requests, sched, t_start,
+                                            results, needs_top_p, phase,
+                                            progress)
 
         while sched.pending_count() or sched.active_count():
             # --- admission (scheduler applies wave hysteresis so prefill
@@ -569,6 +589,90 @@ class T3Engine:
             import sys
             tot = sum(phase.values())
             print(f"[engine] {n_chunks} chunks; phase seconds: "
+                  + ", ".join(f"{k}={v:.2f}" for k, v in phase.items())
+                  + f" (sum {tot:.2f})", file=sys.stderr)
+        return [results[i] for i in range(len(requests))]
+
+    def _generate_pipelined(self, requests, sched, t_start, results,
+                            needs_top_p, phase, progress):
+        """Pipelined-harvest generate loop (see ``generate`` docstring)."""
+        eng = self.eng
+        if not hasattr(self, "_snap"):
+            # fresh (non-aliased) copies: the live state's buffers get
+            # donated into the next decode chunk, so the async snapshot
+            # needs its own
+            self._snap = jax.jit(lambda d, a, n, o: (d & a, n + 0, o + 0))
+        n_chunks = 0
+        snap = None
+
+        def consume(snap_t):
+            flags_d, n_gen_d, out_d = snap_t
+            fslots, fuids = sched.harvest(
+                np.asarray(flags_d).astype(np.uint8))
+            if fslots:
+                n_gen = np.asarray(n_gen_d)
+                out = np.asarray(out_d)
+                for slot, ridx in zip(fslots, fuids):
+                    toks = out[slot, : n_gen[slot]]
+                    by_stop = bool(len(toks) and
+                                   toks[-1] == self.cfg.stop_speech_token)
+                    results[ridx] = Result(
+                        uid=requests[ridx].uid, tokens=toks,
+                        finished_by_stop=by_stop,
+                        ttft_s=self._ttft.get(ridx, 0.0))
+                self.state = self.state._replace(
+                    active=self.state.active.at[np.asarray(fslots)].set(False))
+                if progress:
+                    print(f"[engine] {len(results)}/{len(requests)} done")
+
+        while True:
+            if not (sched.pending_count() or sched.active_count()):
+                break
+            t_ph = time.time()
+            while True:
+                slots, uids = sched.admit(min(self.B, 16))
+                if not slots:
+                    break
+                self._admit([requests[u] for u in uids], slots)
+                now = time.time() - t_start
+                for u in uids:
+                    self._ttft[u] = now
+            phase["admit"] += time.time() - t_ph
+
+            t_ph = time.time()
+            s_active = self._s_bucket(max(sched.advance(eng.decode_chunk), 1))
+            ring, g0, self.state = self._decode_chunk(
+                self.params, self.cache, self.state,
+                n_steps=eng.decode_chunk, s_active=s_active,
+                needs_top_p=needs_top_p)
+            n_chunks += 1
+            phase["decode"] += time.time() - t_ph
+            t_ph = time.time()
+            self.cache = self._merge(self.cache, ring, g0,
+                                     self.state.global_pos - g0)
+            phase["merge"] += time.time() - t_ph
+
+            # snapshot this chunk's flags asynchronously, then consume the
+            # PREVIOUS snapshot: its transfer landed before this chunk
+            # started executing, so the host works while the device decodes
+            t_ph = time.time()
+            st = self.state
+            new_snap = self._snap(st.done, st.active, st.n_generated,
+                                  st.out_buf)
+            for a in new_snap:
+                a.copy_to_host_async()
+            if snap is not None:
+                consume(snap)
+            snap = new_snap
+            phase["harvest"] += time.time() - t_ph
+
+        if snap is not None:   # drain: the loop exit needed the last consume
+            consume(snap)
+
+        if progress or os.environ.get("CHATTERBOX_DEBUG"):
+            import sys
+            tot = sum(phase.values())
+            print(f"[engine] {n_chunks} chunks (pipelined); phase seconds: "
                   + ", ".join(f"{k}={v:.2f}" for k, v in phase.items())
                   + f" (sum {tot:.2f})", file=sys.stderr)
         return [results[i] for i in range(len(requests))]
