@@ -151,3 +151,48 @@ def test_align_stop_requires_model_flag():
         T3Engine(model, params, cfg,
                  EngineConfig(max_batch_size=2, max_model_len=96,
                               align_stop=True))
+
+
+def test_generate_empty_and_edge_requests(setup):
+    """Edge cases: empty request list, empty text, and a max_new_tokens
+    request that must be clamped to fit max_model_len."""
+    cfg, model, params, eng = setup
+    engine = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(3))
+
+    assert engine.generate([]) == []
+
+    rng = jax.random.PRNGKey(9)
+    empty = Request(text_ids=np.zeros((0,), np.int32),
+                    cond_emb=np.asarray(jax.random.normal(
+                        rng, (cfg.cond_len, cfg.hidden_size))),
+                    max_new_tokens=6, temperature=0.0, uid="empty")
+    huge = mk_req(cfg, rng, 8, max_new=10_000, temperature=0.0, uid="huge")
+    results = engine.generate([empty, huge])
+    assert results[0].uid == "empty" and 1 <= len(results[0].tokens) <= 6
+    # clamp: cond_len + text + 1 + generated must fit the cache
+    assert len(results[1].tokens) <= eng.max_model_len
+    for r in results:
+        assert np.all(r.tokens >= 0)
+        assert np.all(r.tokens < cfg.speech_vocab_size)
+
+
+def test_generate_pipelined_matches_simple(setup):
+    """The opt-in pipelined harvest returns identical greedy results.
+
+    All requests fit one admission wave so both modes see bit-identical
+    prefill/decode shapes (different admission timing changes padding
+    bucket shapes, and fp reassociation can flip greedy argmax near-ties
+    on random weights — not a correctness difference)."""
+    cfg, model, params, eng = setup
+    rng = jax.random.PRNGKey(11)
+    reqs = [mk_req(cfg, jax.random.fold_in(rng, i), 5 + i, max_new=8,
+                   temperature=0.0, uid=i) for i in range(4)]
+    import dataclasses as dc
+    a = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(5))
+    b = T3Engine(model, params, cfg,
+                 dc.replace(eng, pipelined_harvest=True),
+                 rng=jax.random.PRNGKey(5))
+    ra = a.generate(reqs)
+    rb = b.generate(reqs)
+    for x, y in zip(ra, rb):
+        np.testing.assert_array_equal(x.tokens, y.tokens)
