@@ -23,6 +23,22 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def probe_rtt(n: int = 10) -> float:
+    """Median sync host<->device round trip in ms (diagnostic: makes the
+    tunnel-health lottery visible next to the recorded score)."""
+    x = jnp.ones((8,), jnp.float32)
+    f = jax.jit(lambda a: a + 1)
+    x = f(x)
+    np.asarray(x)
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        x = f(x)
+        np.asarray(x)
+        ts.append(time.time() - t0)
+    return sorted(ts)[n // 2] * 1e3
+
+
 def main():
     from chatterbox_tpu.config import (EngineConfig, S3GenConfig,
                                        T3ModelConfig, S3_TOKEN_RATE)
@@ -40,6 +56,11 @@ def main():
     from chatterbox_tpu.ops.quant import quantize_t3_params
     base_cfg = T3ModelConfig()
     cfg = dataclasses.replace(base_cfg, quant_weights=True)
+    # diagnostic only: the tunnel's sync RTT drifts 6-30+ ms (docs/PERF.md)
+    # and moves the recorded score; an adaptive harvest-mode switch was
+    # tried and rejected — in an A/B right after a 26 ms probe the simple
+    # loop still beat the pipelined one (2859 vs 2486 tok/s).
+    log(f"sync RTT: {probe_rtt():.1f} ms")
     eng = EngineConfig(max_batch_size=48, max_model_len=576, decode_chunk=32,
                       kv_dtype="int8")
     base_model = T3Model(base_cfg)
