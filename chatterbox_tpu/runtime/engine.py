@@ -381,7 +381,8 @@ class T3Engine:
             else:
                 align_pos, align_stall = st.align_pos, st.align_stall
 
-            tokens, sampler = sample_step(logits, st.params, st.sampler)
+            tokens, sampler = sample_step(logits, st.params, st.sampler,
+                                          needs_top_p=needs_top_p)
             tokens = jnp.where(live, tokens, st.tokens)
 
             hit_eos = tokens == self.cfg.stop_speech_token
@@ -652,17 +653,22 @@ class T3Engine:
                                      self.state.global_pos - g0)
             phase["merge"] += time.time() - t_ph
 
-            # snapshot this chunk's flags asynchronously, then consume the
-            # PREVIOUS snapshot: its transfer landed before this chunk
-            # started executing, so the host works while the device decodes
+            # consume the PREVIOUS snapshot (its transfer landed before this
+            # chunk started executing), THEN snapshot this chunk's flags.
+            # Order matters: consume clears `active` for freed slots, so the
+            # new snapshot never re-reports a slot that is about to be
+            # recycled — snapshotting first left the freed slot flagged in
+            # two consecutive snapshots, and the second (stale) flag
+            # harvested the slot's NEXT occupant immediately, handing it the
+            # previous request's tokens.
             t_ph = time.time()
+            if snap is not None:
+                consume(snap)
             st = self.state
             new_snap = self._snap(st.done, st.active, st.n_generated,
                                   st.out_buf)
             for a in new_snap:
                 a.copy_to_host_async()
-            if snap is not None:
-                consume(snap)
             snap = new_snap
             phase["harvest"] += time.time() - t_ph
 

@@ -133,3 +133,26 @@ def test_flash_attention_matches_reference_softmax():
     ref = masked_softmax_attention(q, k, v, key_mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=2e-5)
+
+
+def test_no_sort_fast_path_identical_when_top_p_one():
+    """needs_top_p=False (min-p-only fast path) must sample bit-identically
+    to the full path whenever every request has top_p == 1 — the engine
+    selects the fast path statically (runtime/engine.py), so divergence here
+    would change outputs depending on batch composition."""
+    rng = np.random.default_rng(7)
+    B, V = 6, 512
+    logits = jnp.asarray(rng.standard_normal((B, V)) * 4.0)
+    params = SamplingParams.full(B, temperature=0.8, top_p=1.0, min_p=0.05,
+                                 repetition_penalty=2.0)
+    key = jax.random.PRNGKey(11)
+    st_a = SamplerState.init(B, V, key)
+    st_b = SamplerState.init(B, V, key)
+    # pre-mark some seen tokens so the repetition penalty participates
+    seen = jnp.zeros((B, V), bool).at[:, :17].set(True)
+    st_a = st_a._replace(seen=seen)
+    st_b = st_b._replace(seen=seen)
+    for _ in range(4):
+        ta, st_a = sample_step(logits, params, st_a, needs_top_p=True)
+        tb, st_b = sample_step(logits, params, st_b, needs_top_p=False)
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
