@@ -185,6 +185,21 @@ class ChatterboxTTS:
         campplus_params = jax.tree.map(jnp.asarray,
                                        convert_campplus_params(s3_sd))
 
+        # the pretrained speech tokenizer rides inside s3gen.safetensors
+        # under tokenizer.* (reference s3gen.py:55; its absence would make
+        # audio-prompt conditioning produce garbage prompt tokens)
+        from ..models.s3tokenizer.weights import (
+            convert_s3tokenizer_params, has_s3tokenizer_weights)
+        s3tok_params, s3tok_cfg = None, None
+        if has_s3tokenizer_weights(s3_sd):
+            s3tok_tree, s3tok_cfg = convert_s3tokenizer_params(s3_sd)
+            s3tok_params = jax.tree.map(jnp.asarray, s3tok_tree)
+        else:
+            import sys
+            print("[TTS] WARNING: s3gen.safetensors has no tokenizer.* keys —"
+                  " the speech tokenizer is RANDOM-initialized and"
+                  " audio-prompt voice cloning will not work", file=sys.stderr)
+
         ve_sd = load_safetensors(str(ckpt_dir / "ve.safetensors"))
         ve_params = jax.tree.map(jnp.asarray,
                                  convert_voice_encoder_params(ve_sd))
@@ -193,7 +208,8 @@ class ChatterboxTTS:
         tokenizer = tok_cls.from_pretrained(tokenizer_path or str(ckpt_dir))
 
         obj = cls._assemble(base, t3_params, s3gen_params, campplus_params,
-                            ve_params, None, tokenizer, variant)
+                            ve_params, s3tok_params, tokenizer, variant,
+                            s3tok_cfg=s3tok_cfg)
         conds_path = ckpt_dir / "conds.pt"
         if conds_path.exists():
             obj.default_conds = obj._load_default_conds(str(conds_path))
