@@ -70,14 +70,46 @@ def apply_watermark(wav: np.ndarray, sr: int) -> np.ndarray:
     return wav
 
 
-class TTSService:
-    """Wraps a ChatterboxTTS session behind a lock + warmup."""
+class _Job:
+    __slots__ = ("text", "kw", "done", "wav", "error", "t0")
 
-    def __init__(self, tts, warmup_text: Optional[str] = None):
+    def __init__(self, text, kw):
+        self.text, self.kw = text, kw
+        self.done = threading.Event()
+        self.wav = None
+        self.error = None
+        self.t0 = time.time()
+
+    def call_key(self):
+        """Jobs sharing this key can run in one engine wave (everything else
+        is per-request in the engine/vocoder).  A seeded job runs alone —
+        set_seed mutates global engine RNG state."""
+        kw = self.kw
+        if kw.get("seed") is not None:
+            return ("solo", id(self))
+        return (kw.get("voice_path"), kw.get("diffusion_steps", 10))
+
+
+class TTSService:
+    """Wraps a ChatterboxTTS session behind a coalescing request queue.
+
+    Concurrent HTTP requests are drained into one ``generate_with_conds``
+    call with per-prompt parameter lists, so they share the engine's
+    continuous-batching decode waves and the batched vocoder instead of
+    serializing on a lock (the reference gets this from vLLM's engine
+    concurrency, openai_tts_server.py:661)."""
+
+    def __init__(self, tts, warmup_text: Optional[str] = None,
+                 max_coalesce: int = 8):
+        import queue as _q
         self.tts = tts
-        self.lock = threading.Lock()
+        self.max_coalesce = max_coalesce
+        self._q = _q.Queue()
         self.stats = {"requests": 0, "errors": 0, "audio_s": 0.0,
-                      "synth_s": 0.0, "started_at": time.time()}
+                      "synth_s": 0.0, "batches": 0, "batched_requests": 0,
+                      "started_at": time.time()}
+        self._worker = threading.Thread(target=self._worker_loop, daemon=True)
+        self._worker.start()
         if warmup_text:
             try:
                 t0 = time.time()
@@ -86,35 +118,71 @@ class TTSService:
             except Exception as e:  # warmup failure tolerated (ref :602-603)
                 print(f"[Server] warmup failed: {e}")
 
-    def synthesize(self, text: str, language: str = "en",
-                   exaggeration: float = 0.5, temperature: float = 0.8,
-                   diffusion_steps: int = 10,
-                   voice_path: Optional[str] = None,
-                   top_p: float = 1.0, min_p: float = 0.05,
-                   repetition_penalty: float = 2.0,
-                   cfg_scale: Optional[float] = None,
-                   seed: Optional[int] = None) -> np.ndarray:
-        t0 = time.time()
+    def synthesize(self, text: str, **kw) -> np.ndarray:
+        """Blocking single-text synthesis; internally queued and coalesced
+        with whatever else is in flight.  kw: language, exaggeration,
+        temperature, diffusion_steps, voice_path, top_p, min_p,
+        repetition_penalty, cfg_scale, seed."""
+        lang = kw.get("language")
+        if lang and hasattr(self.tts, "get_supported_languages") and \
+                lang.lower() not in self.tts.get_supported_languages():
+            raise ValueError(f"Unsupported language '{lang}'")
+        job = _Job(text, kw)
+        self._q.put(job)
+        job.done.wait()
+        if job.error is not None:
+            raise job.error
+        return job.wav
+
+    # -- worker ---------------------------------------------------------
+    def _worker_loop(self):
+        import queue as _q
+        while True:
+            jobs = [self._q.get()]
+            while len(jobs) < self.max_coalesce:
+                try:
+                    jobs.append(self._q.get_nowait())
+                except _q.Empty:
+                    break
+            groups: dict = {}
+            for j in jobs:
+                groups.setdefault(j.call_key(), []).append(j)
+            for grp in groups.values():
+                self._run_group(grp)
+
+    def _run_group(self, jobs):
+        sr = getattr(self.tts, "sr", 24000)
         try:
-            with self.lock:
-                if seed is not None:
-                    self.tts.set_seed(int(seed))
-                wavs = self.tts.generate(
-                    [text], audio_prompt_path=voice_path,
-                    language_id=language, exaggeration=exaggeration,
-                    temperature=temperature,
-                    diffusion_steps=diffusion_steps, top_p=top_p,
-                    min_p=min_p, repetition_penalty=repetition_penalty,
-                    cfg_scale=cfg_scale)
-        except Exception:
-            self.stats["errors"] += 1
-            raise
-        wav = apply_watermark(np.asarray(wavs[0]),
-                              getattr(self.tts, "sr", 24000))
-        self.stats["requests"] += 1
-        self.stats["audio_s"] += len(wav) / getattr(self.tts, "sr", 24000)
-        self.stats["synth_s"] += time.time() - t0
-        return wav
+            kw0 = jobs[0].kw
+            if kw0.get("seed") is not None:
+                self.tts.set_seed(int(kw0["seed"]))
+            if hasattr(self.tts, "generate_with_conds"):
+                conds = self.tts.get_audio_conditionals(kw0.get("voice_path"))
+                per = lambda name, dv: [j.kw.get(name, dv) for j in jobs]
+                wavs = self.tts.generate_with_conds(
+                    [j.text for j in jobs], conds,
+                    language_id=per("language", "en"),
+                    exaggeration=per("exaggeration", 0.5),
+                    temperature=per("temperature", 0.8),
+                    top_p=per("top_p", 1.0), min_p=per("min_p", 0.05),
+                    repetition_penalty=per("repetition_penalty", 2.0),
+                    cfg_scale=per("cfg_scale", None),
+                    diffusion_steps=int(kw0.get("diffusion_steps", 10)))
+            else:  # minimal tts object (tests / custom backends)
+                wavs = self.tts.generate([j.text for j in jobs])
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += len(jobs)
+            for j, w in zip(jobs, wavs):
+                j.wav = apply_watermark(np.asarray(w), sr)
+                self.stats["requests"] += 1
+                self.stats["audio_s"] += len(j.wav) / sr
+                self.stats["synth_s"] += time.time() - j.t0
+                j.done.set()
+        except Exception as e:
+            self.stats["errors"] += len(jobs)
+            for j in jobs:
+                j.error = e
+                j.done.set()
 
     def metrics(self) -> dict:
         s = dict(self.stats)

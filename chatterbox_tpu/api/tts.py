@@ -421,46 +421,73 @@ class ChatterboxTTS:
             return self._generate_with_conds_impl(prompts, conds, **kwargs)
 
     def _generate_with_conds_impl(
-            self, prompts: Union[str, List[str]], conds: Conditionals,
-            language_id: Optional[str] = "en", temperature: float = 0.8,
-            exaggeration: float = 0.5, max_tokens: int = 1000,
-            diffusion_steps: int = 10, top_p: float = 1.0,
-            min_p: float = 0.05, repetition_penalty: float = 2.0,
-            cfg_scale: Optional[float] = None) -> List[np.ndarray]:
+            self, prompts: Union[str, List[str]], conds,
+            language_id="en", temperature=0.8,
+            exaggeration=0.5, max_tokens: int = 1000,
+            diffusion_steps: int = 10, top_p=1.0,
+            min_p=0.05, repetition_penalty=2.0,
+            cfg_scale=None) -> List[np.ndarray]:
+        """``language_id`` / ``temperature`` / ``exaggeration`` / ``top_p`` /
+        ``min_p`` / ``repetition_penalty`` / ``cfg_scale`` accept a scalar or
+        a per-prompt list (reference mtl_tts.py:405-435 supports language_id
+        lists; the from-scratch engine makes the rest per-request for free).
+        ``conds`` may likewise be one Conditionals or a per-prompt list."""
         if isinstance(prompts, str):
             prompts = [prompts]
-        if language_id and language_id.lower() not in self.get_supported_languages():
-            raise ValueError(f"Unsupported language_id '{language_id}'")
+        n = len(prompts)
+
+        def per(v, name):
+            vs = list(v) if isinstance(v, (list, tuple)) else [v] * n
+            if len(vs) != n:
+                raise ValueError(
+                    f"{name}: got {len(vs)} values for {n} prompts")
+            return vs
+
+        langs = per(language_id, "language_id")
+        for lang in langs:
+            if lang and lang.lower() not in self.get_supported_languages():
+                raise ValueError(f"Unsupported language_id '{lang}'")
+        temps = per(temperature, "temperature")
+        exags = per(exaggeration, "exaggeration")
+        top_ps = per(top_p, "top_p")
+        min_ps = per(min_p, "min_p")
+        rep_pens = per(repetition_penalty, "repetition_penalty")
+        cfgs = per(cfg_scale, "cfg_scale")
 
         eng = self.cfg.engine
-        conds = self.update_exaggeration(conds, exaggeration)
+        conds_list = [self.update_exaggeration(c, e)
+                      for c, e in zip(per(conds, "conds"), exags)]
 
-        # sampling clamps (tts.py:349-362)
-        temp_use, top_p_use = temperature, top_p
-        if language_id:
-            temp_use = min(temperature, 0.5)
-            top_p_use = min(top_p, 0.5)
+        # sampling clamps (tts.py:349-362), per prompt
+        temp_use = [min(t, 0.5) if lang else t
+                    for t, lang in zip(temps, langs)]
+        top_p_use = [min(p, 0.5) if lang else p
+                     for p, lang in zip(top_ps, langs)]
         if eng.deterministic:
-            temp_use, top_p_use = 0.0, 1.0
+            temp_use = [0.0] * n
+            top_p_use = [1.0] * n
 
         texts = ["[START]" + punc_norm(p) + "[STOP]" for p in prompts]
         if self.variant == "multilingual":
-            texts = [f"<{language_id.lower()}>{t}" for t in texts]
+            texts = [f"<{(lang or 'en').lower()}>{t}"
+                     for t, lang in zip(texts, langs)]
 
         reqs = []
         for i, t in enumerate(texts):
-            ids = self.tokenizer.text_to_tokens(t)
+            ids = self.tokenizer.text_to_tokens(t, language_id=langs[i]) \
+                if self.variant == "multilingual" \
+                else self.tokenizer.text_to_tokens(t)
             cap = estimate_token_cap(
                 t, eng.tokens_per_char, eng.tokens_min, eng.tokens_max,
                 eng.tokens_guard_mult)
             cap = min(cap + eng.pre_guard_margin, max_tokens, eng.max_model_len)
             reqs.append(Request(
                 text_ids=np.asarray(ids, np.int32),
-                cond_emb=conds.cond_emb,
+                cond_emb=conds_list[i].cond_emb,
                 max_new_tokens=max(1, cap),
-                temperature=temp_use, top_p=top_p_use, min_p=min_p,
-                repetition_penalty=repetition_penalty,
-                cfg_scale=eng.cfg_scale if cfg_scale is None else cfg_scale,
+                temperature=temp_use[i], top_p=top_p_use[i], min_p=min_ps[i],
+                repetition_penalty=rep_pens[i],
+                cfg_scale=eng.cfg_scale if cfgs[i] is None else cfgs[i],
                 uid=i))
 
         t0 = time.time()
@@ -482,7 +509,7 @@ class ChatterboxTTS:
                 eng.tokens_guard_mult)
             token_lists.append(toks[:guard])
 
-        wavs = self.vocode_batch(token_lists, conds,
+        wavs = self.vocode_batch(token_lists, conds_list,
                                  diffusion_steps=diffusion_steps)
         out = [postprocess_wav(w, len(t), self.cfg.post)
                for w, t in zip(wavs, token_lists)]
@@ -490,30 +517,48 @@ class ChatterboxTTS:
         return out
 
     # ------------------------------------------------------------------
-    def vocode_batch(self, token_lists: List[np.ndarray], conds: Conditionals,
+    def vocode_batch(self, token_lists: List[np.ndarray], conds,
                      diffusion_steps: int = 10,
                      batch_bucket: int = 8) -> List[np.ndarray]:
-        """Batched S3Gen vocoding with (batch, length) bucketing."""
-        Tp = len(conds.prompt_token)
-        order = sorted(range(len(token_lists)), key=lambda i: len(token_lists[i]))
+        """Batched S3Gen vocoding with (batch, length) bucketing.
+
+        ``conds`` is one Conditionals shared by every request or a
+        per-request list — mixed voices batch together (each row carries its
+        own prompt tokens/mels/x-vector; the flow is fully ragged), which the
+        serving pool needs when coalescing concurrent HTTP requests."""
+        n = len(token_lists)
+        conds_l = list(conds) if isinstance(conds, (list, tuple)) \
+            else [conds] * n
+        if len(conds_l) != n:
+            raise ValueError(f"{len(conds_l)} conds for {n} token lists")
+        order = sorted(range(n), key=lambda i: len(token_lists[i]))
         out: dict = {}
         for start in range(0, len(order), batch_bucket):
             group = order[start: start + batch_bucket]
             B = len(group)
             Bp = 1 << (B - 1).bit_length()
-            T = _bucket_len(Tp + max(len(token_lists[i]) for i in group))
+            T = _bucket_len(max(len(conds_l[i].prompt_token)
+                                + len(token_lists[i]) for i in group))
+            # bucket the prompt-mel axis too: mixed voices would otherwise
+            # recompile _s3gen_apply per distinct prompt length
+            Fp = _bucket_len(max(conds_l[i].prompt_feat.shape[0]
+                                 for i in group))
+            n_mels = self.cfg.s3gen.n_mels
+            emb_dim = len(conds_l[group[0]].embedding)
             tokens = np.zeros((Bp, T), np.int32)
             tlen = np.zeros((Bp,), np.int32)
+            pfeat = np.zeros((Bp, Fp, n_mels), np.float32)
+            pflen = np.zeros((Bp,), np.int32)
+            emb = np.zeros((Bp, emb_dim), np.float32)
             for j, i in enumerate(group):
-                g = token_lists[i]
-                tokens[j, :Tp] = conds.prompt_token
+                c, g = conds_l[i], token_lists[i]
+                Tp = len(c.prompt_token)
+                tokens[j, :Tp] = c.prompt_token
                 tokens[j, Tp: Tp + len(g)] = g
                 tlen[j] = Tp + len(g)
-            pfeat = np.broadcast_to(conds.prompt_feat[None],
-                                    (Bp,) + conds.prompt_feat.shape)
-            pflen = np.full((Bp,), conds.prompt_feat.shape[0], np.int32)
-            emb = np.broadcast_to(conds.embedding[None],
-                                  (Bp, len(conds.embedding)))
+                pfeat[j, : c.prompt_feat.shape[0]] = c.prompt_feat
+                pflen[j] = c.prompt_feat.shape[0]
+                emb[j] = c.embedding
             noise = jnp.broadcast_to(self._noise[:, : 2 * T],
                                      (Bp, 2 * T, self.cfg.s3gen.n_mels))
             rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(Bp))

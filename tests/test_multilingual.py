@@ -60,3 +60,75 @@ def test_mtl_e2e_generate(tmp_path):
     assert len(wavs) == 1 and np.isfinite(wavs[0]).all()
     with pytest.raises(ValueError):
         tts.generate(["hi"], language_id="xx")
+
+
+def test_mtl_per_prompt_language_list(tmp_path):
+    """Per-prompt language_id lists (reference mtl_tts.py:405-435): one call,
+    mixed languages, each prompt tagged/tokenized with its own language."""
+    from chatterbox_tpu.api.tts import ChatterboxTTS
+    from chatterbox_tpu.audio.tokenizer import MTLTokenizer
+    from chatterbox_tpu.models.s3tokenizer.model import S3TokenizerConfig
+
+    path = make_tiny_mtl_tokenizer(tmp_path)
+    t3 = dataclasses.replace(T3ModelConfig.tiny(), text_vocab_size=64)
+    cfg = ChatterboxConfig(
+        t3=t3, s3gen=S3GenConfig.tiny(),
+        engine=EngineConfig(max_batch_size=2, max_model_len=128,
+                            decode_chunk=4, prefill_buckets=(32, 64),
+                            tokens_max=16, tokens_min=4, tokens_per_char=0.5))
+    tts = ChatterboxTTS.from_random(cfg=cfg, tokenizer=MTLTokenizer(path),
+                                    variant="multilingual",
+                                    s3tok_cfg=S3TokenizerConfig.tiny())
+    wavs = tts.generate(["bonjour.", "hello.", "hi again."],
+                        language_id=["fr", "en", "en"],
+                        max_tokens=8, diffusion_steps=2)
+    assert len(wavs) == 3
+    assert all(np.isfinite(w).all() and len(w) % 960 == 0 for w in wavs)
+    # wrong-length list rejected
+    with pytest.raises(ValueError):
+        tts.generate(["a.", "b."], language_id=["fr"], max_tokens=4)
+    # one bad language in the list rejected
+    with pytest.raises(ValueError):
+        tts.generate(["a.", "b."], language_id=["fr", "xx"], max_tokens=4)
+
+
+def test_per_prompt_params_and_mixed_voice_vocode(tmp_path):
+    """Scalar vs per-prompt-list parameters produce identical audio when the
+    list is uniform (greedy/deterministic), and vocode_batch accepts
+    per-request Conditionals (mixed voices in one batch)."""
+    import dataclasses as dc
+    from chatterbox_tpu.api.tts import ChatterboxTTS
+    from chatterbox_tpu.audio.tokenizer import MTLTokenizer
+    from chatterbox_tpu.models.s3tokenizer.model import S3TokenizerConfig
+
+    path = make_tiny_mtl_tokenizer(tmp_path)
+    t3 = dataclasses.replace(T3ModelConfig.tiny(), text_vocab_size=64)
+    cfg = ChatterboxConfig(
+        t3=t3, s3gen=S3GenConfig.tiny(),
+        engine=EngineConfig(max_batch_size=2, max_model_len=128,
+                            decode_chunk=4, prefill_buckets=(32, 64),
+                            tokens_max=16, tokens_min=4, tokens_per_char=0.5,
+                            deterministic=True))
+    tts = ChatterboxTTS.from_random(cfg=cfg, tokenizer=MTLTokenizer(path),
+                                    variant="multilingual",
+                                    s3tok_cfg=S3TokenizerConfig.tiny())
+    prompts = ["one two.", "three four five."]
+    a = tts.generate(prompts, language_id="en", max_tokens=8,
+                     diffusion_steps=2)
+    b = tts.generate(prompts, language_id=["en", "en"],
+                     temperature=[0.8, 0.8], exaggeration=[0.5, 0.5],
+                     max_tokens=8, diffusion_steps=2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+    # mixed voices: same default conds object twice vs two distinct conds
+    # with different prompt lengths must still vocode in one batch
+    c0 = tts.default_conds
+    c1 = dc.replace(
+        c0, prompt_token=c0.prompt_token[: max(1, len(c0.prompt_token) // 2)],
+        prompt_feat=c0.prompt_feat[: max(2, 2 * (len(c0.prompt_token) // 2))])
+    toks = [np.arange(5, dtype=np.int32) % 16,
+            np.arange(8, dtype=np.int32) % 16]
+    wavs = tts.vocode_batch(toks, [c0, c1], diffusion_steps=2)
+    assert len(wavs) == 2
+    assert all(np.isfinite(w).all() and len(w) > 0 for w in wavs)
