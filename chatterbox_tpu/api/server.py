@@ -29,7 +29,7 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
-from ..audio.text import detect_language, split_text_by_sentence
+from ..audio.text import detect_language
 from ..config import S3GEN_SR
 
 
@@ -48,19 +48,144 @@ def wav_bytes(wav: np.ndarray, sr: int = S3GEN_SR) -> bytes:
     return hdr + pcm
 
 
-def split_for_low_latency(text: str, first_chunk_chars: int = 120,
-                          max_chars: int = 400) -> List[str]:
-    """Small first chunk for TTFA, larger follow-ups (reference :144-217)."""
+# strong phrase punctuation: ASCII + CJK + Arabic (reference :155)
+_PHRASE_PUNCT = re.compile(r"([\.!\?;:。！？；，、،؛؟…])")
+# boundary punctuation that should attach to the PREVIOUS chunk (ref :233)
+_LEADING_PUNCT = re.compile(
+    r"^[\s\.,!\?\;:\-—–…\)\]\}"
+    r"。！？、，،؛؟]+")
+_TRAILING_PUNCT = re.compile(r"[\s\.,!\?\;:\-—–…\)\]\}]+$")
+# function words that sound wrong at a chunk join (reference :276-278)
+_WEAK_END_WORDS = frozenset(
+    "a an the to of in on at and or but for nor so".split())
+
+
+def split_phrases(text: str, max_chars: int = 120) -> List[str]:
+    """Phrase-level chunking for streaming: split on strong punctuation
+    (ASCII/CJK/Arabic), greedily pack phrases up to max_chars, then enforce
+    max_chars by whitespace or fixed-width slicing (reference
+    _split_text_for_low_latency :144-217)."""
     text = text.strip()
-    if len(text) <= first_chunk_chars:
-        return [text] if text else []
-    head = text[:first_chunk_chars]
-    # prefer a sentence/clause boundary inside the head window
-    m = list(re.finditer(r"[.!?,;。？！，]\s*", head))
-    cut = m[-1].end() if m else first_chunk_chars
-    first = text[:cut].strip()
-    rest = text[cut:].strip()
-    return ([first] if first else []) + split_text_by_sentence(rest, max_chars)
+    if not text:
+        return []
+    parts = _PHRASE_PUNCT.split(text)
+    phrases, cur = [], ""
+    for i in range(0, len(parts), 2):
+        seg = parts[i].strip()
+        if not seg:
+            continue
+        punc = parts[i + 1] if i + 1 < len(parts) else ""
+        piece = (seg + punc).strip()
+        if cur and len(cur) + 1 + len(piece) <= max_chars:
+            cur = f"{cur} {piece}"
+        elif not cur and len(piece) <= max_chars:
+            cur = piece
+        else:
+            if cur:
+                phrases.append(cur)
+            cur = piece
+    if cur:
+        phrases.append(cur)
+    if not phrases:
+        return [text]
+
+    out: List[str] = []
+    for c in phrases:
+        if len(c) <= max_chars:
+            out.append(c)
+            continue
+        words = c.split()
+        if len(words) <= 1:   # no whitespace (CJK run): fixed-width slices
+            out.extend(c[i: i + max_chars] for i in range(0, len(c), max_chars))
+            continue
+        cur = ""
+        for w in words:
+            if len(w) > max_chars:
+                if cur:
+                    out.append(cur)
+                    cur = ""
+                out.extend(w[i: i + max_chars]
+                           for i in range(0, len(w), max_chars))
+            elif not cur:
+                cur = w
+            elif len(cur) + 1 + len(w) <= max_chars:
+                cur = f"{cur} {w}"
+            else:
+                out.append(cur)
+                cur = w
+        if cur:
+            out.append(cur)
+    return [c for c in out if c]
+
+
+def repair_chunk_boundaries(chunks: List[str]) -> List[str]:
+    """No chunk may start with punctuation — attach it to the previous chunk
+    so the pause lands with the preceding phrase (reference :220-259)."""
+    repaired: List[str] = []
+    for idx, c in enumerate(chunks):
+        if idx == 0:
+            repaired.append(c.strip())
+            continue
+        m = _LEADING_PUNCT.match(c)
+        if m:
+            lead = m.group(0)
+            c = c[len(lead):].lstrip()
+            if lead.strip() and repaired:
+                repaired[-1] = (repaired[-1].rstrip() + lead).rstrip()
+        c = c.strip()
+        if c:
+            repaired.append(c)
+    return [c for c in repaired if c]
+
+
+def avoid_weak_endings(chunks: List[str]) -> List[str]:
+    """Never end a chunk (except the last) on a weak function word — move it
+    to the next chunk so it binds with what follows (reference :262-327)."""
+    out = list(chunks)
+    i = 0
+    while i < len(out) - 1:
+        cur, nxt = out[i].strip(), out[i + 1].strip()
+        if not cur or not nxt:
+            i += 1
+            continue
+        body = _TRAILING_PUNCT.sub("", cur)
+        words = body.split()
+        if words and words[-1].lower() in _WEAK_END_WORDS:
+            idx = body.rfind(words[-1])
+            trailing = cur[len(body):]
+            new_cur = (body[:idx].rstrip() + trailing).rstrip()
+            out[i + 1] = f"{words[-1]} {nxt}".strip()
+            if new_cur:
+                out[i] = new_cur
+                continue              # re-check: weak words can stack
+            out[i] = ""
+            out[i + 1] = (trailing.strip() + " " + out[i + 1]).strip()
+            del out[i]
+            continue
+        i += 1
+    return [c for c in out if c and c.strip()]
+
+
+def split_for_low_latency(text: str, first_chunk_chars: int = 30,
+                          max_chars: int = 120) -> List[str]:
+    """Small first chunk for TTFA, larger follow-ups, then prosody repairs
+    (reference :473-491: first split at first_chunk_chars, remainder at
+    chunk_chars, boundary repair, weak-ending avoidance)."""
+    text = text.strip()
+    if not text:
+        return []
+    if first_chunk_chars and first_chunk_chars > 0:
+        fchunks = split_phrases(text, max_chars=first_chunk_chars)
+        chunks = []
+        if fchunks:
+            first = fchunks[0]
+            chunks.append(first)
+            rest = text[len(first):].strip()
+            if rest:
+                chunks.extend(split_phrases(rest, max_chars=max_chars))
+    else:
+        chunks = split_phrases(text, max_chars=max_chars)
+    return avoid_weak_endings(repair_chunk_boundaries(chunks))
 
 
 def apply_watermark(wav: np.ndarray, sr: int) -> np.ndarray:
@@ -192,15 +317,29 @@ class TTSService:
         return s
 
     def stream_pcm_frames(self, text: str, frame_ms: int = 20,
-                          first_chunk_chars: int = 120,
+                          first_chunk_chars: int = 30,
+                          chunk_chars: int = 120,
+                          primer_silence_ms: int = 0,
+                          first_chunk_diff_steps: Optional[int] = None,
                           **kw) -> Iterator[bytes]:
+        """Chunked PCM16 streaming (reference :438-528): optional primer
+        silence so headers/first bytes flush immediately, a small first text
+        chunk (optionally at reduced diffusion steps) for TTFA, prosody-
+        repaired follow-up chunks, 5 ms tail fade to 0.95 per chunk."""
         frame_len = int(S3GEN_SR * frame_ms / 1000) * 2  # bytes
         fade = int(S3GEN_SR * 0.005)
-        for chunk in split_for_low_latency(text, first_chunk_chars):
-            wav = self.synthesize(chunk, **kw)
-            if len(wav) > fade:  # 5 ms tail fade per chunk (ref :509-514)
+        if primer_silence_ms > 0:
+            yield pcm16_bytes(
+                np.zeros(int(S3GEN_SR * primer_silence_ms / 1000), np.float32))
+        for idx, chunk in enumerate(
+                split_for_low_latency(text, first_chunk_chars, chunk_chars)):
+            ckw = dict(kw)
+            if idx == 0 and first_chunk_diff_steps is not None:
+                ckw["diffusion_steps"] = max(1, int(first_chunk_diff_steps))
+            wav = self.synthesize(chunk, **ckw)
+            if len(wav) > fade:  # 5 ms tail fade per chunk (ref :509-518)
                 wav = wav.copy()
-                wav[-fade:] *= np.linspace(1.0, 0.0, fade, dtype=np.float32)
+                wav[-fade:] *= np.linspace(1.0, 0.95, fade, dtype=np.float32)
             pcm = pcm16_bytes(wav)
             for off in range(0, len(pcm), frame_len):
                 yield pcm[off: off + frame_len]
@@ -342,7 +481,12 @@ def make_handler(service: TTSService):
                     for frame in service.stream_pcm_frames(
                             text,
                             frame_ms=int(req.get("frame_ms", 20)),
-                            first_chunk_chars=int(req.get("first_chunk_chars", 120)),
+                            first_chunk_chars=int(req.get("first_chunk_chars", 30)),
+                            chunk_chars=int(req.get("chunk_chars", 120)),
+                            primer_silence_ms=int(req.get("primer_silence_ms", 0)),
+                            first_chunk_diff_steps=(
+                                None if req.get("first_chunk_diff_steps") is None
+                                else int(req["first_chunk_diff_steps"])),
                             **kw):
                         self.wfile.write(f"{len(frame):x}\r\n".encode())
                         self.wfile.write(frame)

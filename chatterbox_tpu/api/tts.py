@@ -169,6 +169,12 @@ class ChatterboxTTS:
         base = cfg or ChatterboxConfig()
         if variant == "multilingual":
             base = dataclasses.replace(base, t3=T3ModelConfig.multilingual())
+            if "align_stop" not in engine_kwargs:
+                # default the EOS safeguard ON for the variant that lacks it
+                # in the reference (README.md:99); engine_kwargs overrides
+                base = dataclasses.replace(
+                    base, engine=dataclasses.replace(base.engine,
+                                                     align_stop=True))
         if engine_kwargs:
             base = dataclasses.replace(
                 base, engine=dataclasses.replace(base.engine, **engine_kwargs))

@@ -88,7 +88,13 @@ class T3ModelConfig:
 
     @classmethod
     def multilingual(cls) -> "T3ModelConfig":
-        return dataclasses.replace(cls(), text_vocab_size=2454)
+        # align_enabled: the multilingual checkpoint is the one missing the
+        # original Chatterbox EOS safeguard (reference README.md:99) — the
+        # engine's alignment-stream stopping stands in for it (see
+        # EngineConfig.align_stop, flipped on by api.tts.from_local for this
+        # variant; evaluation note in docs/PERF.md)
+        return dataclasses.replace(cls(), text_vocab_size=2454,
+                                   align_enabled=True)
 
     @classmethod
     def tiny(cls) -> "T3ModelConfig":

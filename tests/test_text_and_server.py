@@ -264,3 +264,78 @@ def test_server_error_isolated_to_its_group():
         service.synthesize("boom")
     assert len(service.synthesize("fine")) > 0
     assert service.stats["errors"] == 1
+
+
+def test_repair_chunk_boundaries():
+    from chatterbox_tpu.api.server import repair_chunk_boundaries
+    # leading punctuation migrates to the previous chunk
+    out = repair_chunk_boundaries(["hello world", ", and more", "... done"])
+    assert out == ["hello world,", "and more...", "done"]
+    # chunk that is ONLY punctuation disappears into its predecessor
+    out = repair_chunk_boundaries(["hi", "!!!"])
+    assert out == ["hi!!!"]
+    assert repair_chunk_boundaries([]) == []
+
+
+def test_avoid_weak_endings():
+    from chatterbox_tpu.api.server import avoid_weak_endings
+    # the boundary is re-checked after each move, so stacked weak words all
+    # migrate (reference :262-327 'Re-check this boundary')
+    out = avoid_weak_endings(["I went to the", "store today."])
+    assert out == ["I went", "to the store today."]
+    # stacked weak words all migrate (re-check loop)
+    out = avoid_weak_endings(["looking at the", "sky."])
+    assert out == ["looking", "at the sky."]
+    # last chunk may end however it likes
+    out = avoid_weak_endings(["all done but"])
+    assert out == ["all done but"]
+
+
+def test_split_phrases_cjk_and_long_words():
+    from chatterbox_tpu.api.server import split_phrases
+    # CJK punctuation splits phrases
+    out = split_phrases("你好，世界。再见！", max_chars=6)
+    assert all(len(c) <= 6 for c in out)
+    assert "".join(out).replace(" ", "") == "你好，世界。再见！"
+    # an unbroken run longer than max_chars gets fixed-width sliced
+    out = split_phrases("x" * 25, max_chars=10)
+    assert out == ["x" * 10, "x" * 10, "x" * 5]
+
+
+def test_split_for_low_latency_prosody():
+    from chatterbox_tpu.api.server import split_for_low_latency
+    text = ("This is the start of a long paragraph, and it keeps going with "
+            "more clauses; the splitter should never start a chunk with "
+            "punctuation or end one on a weak word like the or to.")
+    chunks = split_for_low_latency(text, first_chunk_chars=30, max_chars=60)
+    assert chunks and len(chunks[0]) <= 60
+    import re
+    for c in chunks:
+        assert not re.match(r"^[\s\.,!\?\;:]", c), c
+    for c in chunks[:-1]:
+        last = re.sub(r"[^\w']+$", "", c).split()[-1].lower()
+        assert last not in {"a", "an", "the", "to", "of", "in", "on", "at",
+                            "and", "or", "but", "for", "nor", "so"}, c
+
+
+def test_stream_primer_silence_and_first_chunk_steps():
+    from chatterbox_tpu.api.server import TTSService
+
+    class StepRecorder(BatchRecordingTTS):
+        def __init__(self):
+            super().__init__(delay=0.0)
+            self.steps = []
+
+        def generate_with_conds(self, prompts, conds, **kw):
+            self.steps.append(kw["diffusion_steps"])
+            return super().generate_with_conds(prompts, conds, **kw)
+
+    fake = StepRecorder()
+    service = TTSService(fake)
+    frames = list(service.stream_pcm_frames(
+        "First phrase here. Then a good deal more text follows afterwards.",
+        primer_silence_ms=40, first_chunk_chars=20, chunk_chars=40,
+        first_chunk_diff_steps=2, diffusion_steps=9))
+    # primer: 40 ms of silence = 960 samples = 1920 bytes, all zeros
+    assert frames[0] == b"\x00" * (2 * 24000 * 40 // 1000)
+    assert fake.steps[0] == 2 and all(s == 9 for s in fake.steps[1:])
