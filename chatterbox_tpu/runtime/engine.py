@@ -85,25 +85,6 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-def _merge_ring(frozen, ring, g0, n_new, axis=3):
-    """Merge ring into frozen along the position ``axis``: for lane b,
-    ring[c] -> frozen[g0[b] + c] for c < n_new[b].  axis=3 for scale arrays
-    [L, B2, H, S]; axis=2 for packed value arrays [L, B2, S, H*D]."""
-    S = frozen.shape[axis]
-    C = ring.shape[axis]
-    s = jnp.arange(S)[None, :]
-    c = s - g0[:, None]                             # [B2, S]
-    use = (c >= 0) & (c < n_new[:, None])
-    cidx = jnp.clip(c, 0, C - 1)
-    shape = [1] * frozen.ndim
-    shape[1] = frozen.shape[1]
-    shape[axis] = S
-    idx = cidx.reshape(shape)
-    usex = use.reshape(shape)
-    gathered = jnp.take_along_axis(ring, idx, axis=axis)
-    return jnp.where(usex, gathered.astype(frozen.dtype), frozen)
-
-
 class T3Engine:
     """Slot-based continuous batching over the T3 model."""
 
@@ -421,8 +402,9 @@ class T3Engine:
         the donated cache (unrolled over lanes — a lax.scan would ping-pong
         the multi-GB carry).  Measured 0.2-0.5 ms vs ~100 ms for the
         gather-based full-cache rewrite (which moves ~14 GB at B=48).  The
-        sharded path keeps the gather rewrite: per-lane dynamic slices cross
-        dp shards under SPMD."""
+        sharded path runs the SAME windowed update shard-locally under
+        shard_map (lanes on dp, packed head dim / scale heads on tp; every
+        per-lane window stays within one dp shard, so no collectives)."""
         g0_l = jnp.repeat(g0, 2)
         n_l = jnp.repeat(n_new, 2)
         # ring (head-major) -> packed rows [L, B2, C, H*D'] + scales [L,B2,H,C]
@@ -448,20 +430,49 @@ class T3Engine:
             rkq, rvq = pack_heads(ring.k), pack_heads(ring.v)
             rks = rvs = None
 
-        if self.mesh is not None:
-            if frozen.quantized:
-                return KVCache(
-                    k=_merge_ring(frozen.k, rkq, g0_l, n_l, axis=2),
-                    v=_merge_ring(frozen.v, rvq, g0_l, n_l, axis=2),
-                    k_scale=_merge_ring(frozen.k_scale, rks, g0_l, n_l),
-                    v_scale=_merge_ring(frozen.v_scale, rvs, g0_l, n_l))
-            return KVCache(
-                k=_merge_ring(frozen.k, rkq, g0_l, n_l, axis=2),
-                v=_merge_ring(frozen.v, rvq, g0_l, n_l, axis=2))
+        if self.mesh is None:
+            return self._merge_windowed(frozen, rkq, rks, rvq, rvs,
+                                        g0_l, n_l)
 
-        C = ring.k.shape[3]
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.sharding import kv_cache_spec
+        vspec, sspec = kv_cache_spec(frozen.quantized)
+        lane = P("dp")                  # [B2] lane arrays, lanes on dp
+
+        if frozen.quantized:
+            def body(fk, fv, fks, fvs, rk, rks_, rv, rvs_, g, n):
+                out = self._merge_windowed(
+                    KVCache(k=fk, v=fv, k_scale=fks, v_scale=fvs),
+                    rk, rks_, rv, rvs_, g, n)
+                return out.k, out.v, out.k_scale, out.v_scale
+            fk, fv, fks, fvs = shard_map(
+                body, mesh=self.mesh,
+                in_specs=(vspec, vspec, sspec, sspec,
+                          vspec, sspec, vspec, sspec, lane, lane),
+                out_specs=(vspec, vspec, sspec, sspec),
+                check_vma=False,
+            )(frozen.k, frozen.v, frozen.k_scale, frozen.v_scale,
+              rkq, rks, rvq, rvs, g0_l, n_l)
+            return KVCache(k=fk, v=fv, k_scale=fks, v_scale=fvs)
+
+        def body(fk, fv, rk, rv, g, n):
+            out = self._merge_windowed(KVCache(k=fk, v=fv),
+                                       rk, None, rv, None, g, n)
+            return out.k, out.v
+        fk, fv = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(vspec, vspec, vspec, vspec, lane, lane),
+            out_specs=(vspec, vspec), check_vma=False,
+        )(frozen.k, frozen.v, rkq, rvq, g0_l, n_l)
+        return KVCache(k=fk, v=fv)
+
+    def _merge_windowed(self, frozen: KVCache, rkq, rks, rvq, rvs, g0_l, n_l):
+        """Per-lane C-wide windowed DUS merge; shapes may be global or
+        shard-local (everything is read off the arrays)."""
+        C = rkq.shape[2]
         L, B2, S, HD = frozen.k.shape
-        H = frozen.k_scale.shape[2] if frozen.quantized else self.cfg.n_kv_heads
+        H = frozen.k_scale.shape[2] if frozen.quantized else None
         cm4v = jnp.arange(C)[None, None, :, None]     # packed values, axis 2
         cm4s = jnp.arange(C)[None, None, None, :]     # scales, axis 3
         fk, fv = frozen.k, frozen.v

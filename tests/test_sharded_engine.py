@@ -79,3 +79,38 @@ def test_train_step_with_sequence_parallelism():
         losses[name] = float(loss)
         assert np.isfinite(losses[name])
     assert abs(losses["single"] - losses["dp2sp2tp2"]) < 2e-2, losses
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sharded_engine_int8_kv_matches_single_device():
+    """Same greedy equality with the quantized cache: exercises the
+    shard_map windowed merge's scale-array branch (scales [L,B2,H,S] with
+    heads on tp, lanes on dp)."""
+    cfg = T3ModelConfig.tiny()
+    model = T3Model(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, cfg.speaker_embed_size)),
+        jnp.zeros((1, 4), jnp.int32), 0.5 * jnp.ones((1, 1)),
+        jnp.zeros((1, 4), jnp.int32), jnp.full((1,), 4, jnp.int32),
+        method=lambda m, *a: m.init_all(*a)))(rng)
+
+    eng = EngineConfig(max_batch_size=4, max_model_len=96, decode_chunk=4,
+                       prefill_buckets=(8, 16), tokens_max=16,
+                       kv_dtype="int8")
+    rs = np.random.default_rng(1)
+    reqs = [Request(
+        text_ids=rs.integers(0, cfg.text_vocab_size, size=5 + i).astype(np.int32),
+        cond_emb=rs.standard_normal(
+            (cfg.cond_len, cfg.hidden_size)).astype(np.float32),
+        max_new_tokens=6 + i, temperature=0.0, uid=i) for i in range(6)]
+
+    single = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(7))
+    ref = single.generate(reqs)
+
+    mesh = build_mesh(MeshConfig(dp=2, sp=1, tp=2), jax.devices()[:4])
+    sharded = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(7),
+                       mesh=mesh)
+    out = sharded.generate(reqs)
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
