@@ -184,6 +184,10 @@ class EngineConfig:
     max_batch_size: int = 16
     max_model_len: int = 1000
     decode_chunk: int = 8           # decode steps per jitted chunk (host sync cadence)
+    chunks_per_dispatch: int = 1    # sub-chunks (each decode_chunk steps +
+    # merge) folded into ONE device dispatch; >1 trades slot-recycling /
+    # admission latency for fewer host round trips (the tunnel costs
+    # ~100-200 ms per dispatched chunk; docs/PERF.md round-2 notes)
     pipelined_harvest: bool = False  # async one-chunk-late harvest (see
     # T3Engine.generate; wins when host<->device sync RTT is high)
     prefill_buckets: tuple = (64, 128, 256, 512, 1024)

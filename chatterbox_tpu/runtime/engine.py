@@ -141,6 +141,13 @@ class T3Engine:
             static_argnames=("n_steps", "s_active", "needs_top_p"),
             donate_argnames=("st",))
         self._merge = jax.jit(self._merge_impl, donate_argnames=("frozen",))
+        # megachunk: k sub-chunks of n_steps each, merge folded in, ONE
+        # dispatch — ring stays C=n_steps (the in-scan ring read scales with
+        # C, which is why a single longer chunk measured slower; docs/PERF.md)
+        self._megachunk = jax.jit(
+            self._megachunk_impl,
+            static_argnames=("n_steps", "n_inner", "s_active", "needs_top_p"),
+            donate_argnames=("cache", "st"))
 
         self.reset()
 
@@ -285,19 +292,50 @@ class T3Engine:
         step = max(96, -(-self.S // 6))
         return max(step, min(self.S, -(-pos // step) * step))
 
-    def precompile(self):
-        """Compile the decode chunk for every s_active bucket up front so
+    def precompile(self, needs_top_p: bool = True):
+        """Compile the decode dispatch for every s_active bucket up front so
         steady-state serving never hits a compile."""
         step = max(96, -(-self.S // 6))
         buckets = sorted({self._s_bucket(p)
                           for p in range(step, self.S + step, step)})
+        k = max(1, self.eng.chunks_per_dispatch)
         for s_active in buckets:
+            if k == 1:
+                ring, g0, self.state = self._decode_chunk(
+                    self.params, self.cache, self.state,
+                    n_steps=self.eng.decode_chunk, s_active=s_active,
+                    needs_top_p=needs_top_p)
+                self.cache = self._merge(self.cache, ring, g0,
+                                         self.state.global_pos - g0)
+            else:
+                self.cache, self.state = self._megachunk(
+                    self.params, self.cache, self.state,
+                    n_steps=self.eng.decode_chunk, n_inner=k,
+                    s_active=s_active, needs_top_p=needs_top_p)
+        self.reset()
+
+    def _dispatch_decode(self, sched, needs_top_p: bool):
+        """One device dispatch of decode work: a (chunk + merge) pair, or
+        ``chunks_per_dispatch`` of them folded into the megachunk jit.
+        Returns the number of steps advanced."""
+        eng = self.eng
+        k = max(1, eng.chunks_per_dispatch)
+        if k == 1:
+            s_active = self._s_bucket(max(sched.advance(eng.decode_chunk), 1))
             ring, g0, self.state = self._decode_chunk(
                 self.params, self.cache, self.state,
-                n_steps=self.eng.decode_chunk, s_active=s_active)
+                n_steps=eng.decode_chunk, s_active=s_active,
+                needs_top_p=needs_top_p)
             self.cache = self._merge(self.cache, ring, g0,
                                      self.state.global_pos - g0)
-        self.reset()
+        else:
+            s_active = self._s_bucket(
+                max(sched.advance(eng.decode_chunk * k), 1))
+            self.cache, self.state = self._megachunk(
+                self.params, self.cache, self.state,
+                n_steps=eng.decode_chunk, n_inner=k, s_active=s_active,
+                needs_top_p=needs_top_p)
+        return eng.decode_chunk * k
 
     # ------------------------------------------------------------------
     # Decode path (frozen-prefix + chunk ring; see models/t3/backbone.py)
@@ -393,6 +431,21 @@ class T3Engine:
 
         (ring, st), _ = jax.lax.scan(step, (ring, st), jnp.arange(n_steps))
         return ring, g0, st
+
+    def _megachunk_impl(self, params, cache: KVCache, st: SlotState, *,
+                        n_steps: int, n_inner: int, s_active: int,
+                        needs_top_p: bool):
+        """n_inner x (decode sub-chunk + windowed merge) in one jit.
+
+        Each sub-chunk's merged tokens become frozen prefix for the next, so
+        the ring stays n_steps wide; s_active must cover the LAST sub-chunk's
+        frozen extent (the caller buckets max_pos + (n_inner-1)*n_steps)."""
+        for _ in range(n_inner):
+            ring, g0, st = self._decode_chunk_impl(
+                params, cache, st, n_steps=n_steps, s_active=s_active,
+                needs_top_p=needs_top_p)
+            cache = self._merge_impl(cache, ring, g0, st.global_pos - g0)
+        return cache, st
 
     def _merge_impl(self, frozen: KVCache, ring: KVCache, g0, n_new):
         """Merge ring -> frozen in its own jit: per slot, ring entries
@@ -537,7 +590,7 @@ class T3Engine:
         results: dict = {}
         self._ttft = {}
         needs_top_p = any(r.top_p < 1.0 - 1e-6 for r in requests)
-        phase = {"admit": 0.0, "decode": 0.0, "merge": 0.0, "harvest": 0.0}
+        phase = {"admit": 0.0, "decode": 0.0, "harvest": 0.0}
         n_chunks = 0
         pipelined = bool(getattr(eng, "pipelined_harvest", False)
                          or os.environ.get("CHATTERBOX_PIPELINED_HARVEST"))
@@ -562,20 +615,12 @@ class T3Engine:
                 for u in uids:
                     self._ttft[u] = now
 
-            # --- decode ---
+            # --- decode (merge folded into the dispatch) ---
             phase["admit"] += time.time() - t_ph
             t_ph = time.time()
-            s_active = self._s_bucket(max(sched.advance(eng.decode_chunk), 1))
-            ring, g0, self.state = self._decode_chunk(
-                self.params, self.cache, self.state,
-                n_steps=eng.decode_chunk, s_active=s_active,
-                needs_top_p=needs_top_p)
+            self._dispatch_decode(sched, needs_top_p)
             n_chunks += 1
             phase["decode"] += time.time() - t_ph
-            t_ph = time.time()
-            self.cache = self._merge(self.cache, ring, g0,
-                                     self.state.global_pos - g0)
-            phase["merge"] += time.time() - t_ph
 
             # --- harvest (one batched device->host fetch) ---
             t_ph = time.time()
@@ -652,17 +697,9 @@ class T3Engine:
             phase["admit"] += time.time() - t_ph
 
             t_ph = time.time()
-            s_active = self._s_bucket(max(sched.advance(eng.decode_chunk), 1))
-            ring, g0, self.state = self._decode_chunk(
-                self.params, self.cache, self.state,
-                n_steps=eng.decode_chunk, s_active=s_active,
-                needs_top_p=needs_top_p)
+            self._dispatch_decode(sched, needs_top_p)
             n_chunks += 1
             phase["decode"] += time.time() - t_ph
-            t_ph = time.time()
-            self.cache = self._merge(self.cache, ring, g0,
-                                     self.state.global_pos - g0)
-            phase["merge"] += time.time() - t_ph
 
             # consume the PREVIOUS snapshot (its transfer landed before this
             # chunk started executing), THEN snapshot this chunk's flags.

@@ -228,3 +228,20 @@ def test_generate_pipelined_multiwave_slot_recycling(setup):
         strings.append(r.tokens.tobytes())
     # verbatim-duplicate outputs across requests = the contamination bug
     assert len(set(strings)) == len(strings), "cross-request token contamination"
+
+
+def test_megachunk_matches_single_chunk(setup):
+    """chunks_per_dispatch > 1 (merge folded into one jit) must produce the
+    same greedy tokens as the per-chunk dispatch path."""
+    cfg, model, params, eng = setup
+    import dataclasses as dc
+    rng = jax.random.PRNGKey(31)
+    reqs = [mk_req(cfg, jax.random.fold_in(rng, i), 4 + i % 3,
+                   max_new=6 + i, temperature=0.0, uid=i) for i in range(6)]
+    a = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(5))
+    b = T3Engine(model, params, cfg, dc.replace(eng, chunks_per_dispatch=2),
+                 rng=jax.random.PRNGKey(5))
+    ra = a.generate(reqs)
+    rb = b.generate(reqs)
+    for x, y in zip(ra, rb):
+        np.testing.assert_array_equal(x.tokens, y.tokens)

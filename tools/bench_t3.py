@@ -20,13 +20,14 @@ def main():
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 48
     S = int(sys.argv[3]) if len(sys.argv) > 3 else 576
     chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    k = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     from chatterbox_tpu.config import EngineConfig, T3ModelConfig
     from chatterbox_tpu.models.t3.model import T3Model
     from chatterbox_tpu.ops.quant import quantize_t3_params
     from chatterbox_tpu.runtime.engine import T3Engine, Request
 
-    print(f"devices: {jax.devices()}  kv={kv_dtype} B={B} S={S}",
+    print(f"devices: {jax.devices()}  kv={kv_dtype} B={B} S={S} k={k}",
           file=sys.stderr)
     rng = jax.random.PRNGKey(0)
     rs = np.random.default_rng(0)
@@ -34,7 +35,7 @@ def main():
     base_cfg = T3ModelConfig()
     cfg = dataclasses.replace(base_cfg, quant_weights=True)
     eng = EngineConfig(max_batch_size=B, max_model_len=S, decode_chunk=chunk,
-                       kv_dtype=kv_dtype)
+                       kv_dtype=kv_dtype, chunks_per_dispatch=k)
     base_model = T3Model(base_cfg)
     model = T3Model(cfg)
     params = jax.jit(lambda r: base_model.init(
@@ -78,7 +79,7 @@ def main():
         results = engine.generate(reqs)
     t3_time = time.time() - t0
     total_tokens = sum(len(r.tokens) for r in results)
-    print(f"[T3] kv={kv_dtype} B={B} chunk={chunk}: {total_tokens} tokens in "
+    print(f"[T3] kv={kv_dtype} B={B} chunk={chunk} k={k}: {total_tokens} tokens in "
           f"{t3_time:.2f}s -> {total_tokens / t3_time:.1f} tok/s",
           file=sys.stderr)
 
