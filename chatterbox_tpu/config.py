@@ -184,10 +184,11 @@ class EngineConfig:
     max_batch_size: int = 16
     max_model_len: int = 1000
     decode_chunk: int = 8           # decode steps per jitted chunk (host sync cadence)
-    chunks_per_dispatch: int = 1    # sub-chunks (each decode_chunk steps +
-    # merge) folded into ONE device dispatch; >1 trades slot-recycling /
-    # admission latency for fewer host round trips (the tunnel costs
-    # ~100-200 ms per dispatched chunk; docs/PERF.md round-2 notes)
+    chunks_per_dispatch: int = 1    # (decode chunk + merge) pairs enqueued
+    # back-to-back per harvest sync; >1 pays the host<->device sync cost
+    # once per k chunks (bitwise-identical tokens) at the price of
+    # slot-recycling / admission latency at k-chunk granularity
+    # (docs/PERF.md round-2 notes)
     pipelined_harvest: bool = False  # async one-chunk-late harvest (see
     # T3Engine.generate; wins when host<->device sync RTT is high)
     prefill_buckets: tuple = (64, 128, 256, 512, 1024)

@@ -141,13 +141,6 @@ class T3Engine:
             static_argnames=("n_steps", "s_active", "needs_top_p"),
             donate_argnames=("st",))
         self._merge = jax.jit(self._merge_impl, donate_argnames=("frozen",))
-        # megachunk: k sub-chunks of n_steps each, merge folded in, ONE
-        # dispatch — ring stays C=n_steps (the in-scan ring read scales with
-        # C, which is why a single longer chunk measured slower; docs/PERF.md)
-        self._megachunk = jax.jit(
-            self._megachunk_impl,
-            static_argnames=("n_steps", "n_inner", "s_active", "needs_top_p"),
-            donate_argnames=("cache", "st"))
 
         self.reset()
 
@@ -298,29 +291,30 @@ class T3Engine:
         step = max(96, -(-self.S // 6))
         buckets = sorted({self._s_bucket(p)
                           for p in range(step, self.S + step, step)})
-        k = max(1, self.eng.chunks_per_dispatch)
         for s_active in buckets:
-            if k == 1:
-                ring, g0, self.state = self._decode_chunk(
-                    self.params, self.cache, self.state,
-                    n_steps=self.eng.decode_chunk, s_active=s_active,
-                    needs_top_p=needs_top_p)
-                self.cache = self._merge(self.cache, ring, g0,
-                                         self.state.global_pos - g0)
-            else:
-                self.cache, self.state = self._megachunk(
-                    self.params, self.cache, self.state,
-                    n_steps=self.eng.decode_chunk, n_inner=k,
-                    s_active=s_active, needs_top_p=needs_top_p)
+            ring, g0, self.state = self._decode_chunk(
+                self.params, self.cache, self.state,
+                n_steps=self.eng.decode_chunk, s_active=s_active,
+                needs_top_p=needs_top_p)
+            self.cache = self._merge(self.cache, ring, g0,
+                                     self.state.global_pos - g0)
         self.reset()
 
     def _dispatch_decode(self, sched, needs_top_p: bool):
-        """One device dispatch of decode work: a (chunk + merge) pair, or
-        ``chunks_per_dispatch`` of them folded into the megachunk jit.
+        """Enqueue ``chunks_per_dispatch`` (decode chunk + merge) pairs
+        back-to-back WITHOUT a host sync between them, then return; the
+        caller's harvest fetch is the only sync.  Dispatch is async, so the
+        k>1 pairs queue on the device and run back-to-back — the tunnel's
+        per-sync idle (launch RPC + flag-fetch RTT, the dominant host cost
+        per chunk on this link) is paid once per k chunks instead of per
+        chunk.  Results are bitwise identical to k=1 (same jits, same
+        s_active bucketing per sub-chunk); the cost is slot recycling at
+        k-chunk granularity.  (A fused k-sub-chunk "megachunk" jit was
+        measured decisively slower — docs/PERF.md.)
         Returns the number of steps advanced."""
         eng = self.eng
         k = max(1, eng.chunks_per_dispatch)
-        if k == 1:
+        for _ in range(k):
             s_active = self._s_bucket(max(sched.advance(eng.decode_chunk), 1))
             ring, g0, self.state = self._decode_chunk(
                 self.params, self.cache, self.state,
@@ -328,13 +322,6 @@ class T3Engine:
                 needs_top_p=needs_top_p)
             self.cache = self._merge(self.cache, ring, g0,
                                      self.state.global_pos - g0)
-        else:
-            s_active = self._s_bucket(
-                max(sched.advance(eng.decode_chunk * k), 1))
-            self.cache, self.state = self._megachunk(
-                self.params, self.cache, self.state,
-                n_steps=eng.decode_chunk, n_inner=k, s_active=s_active,
-                needs_top_p=needs_top_p)
         return eng.decode_chunk * k
 
     # ------------------------------------------------------------------
@@ -431,21 +418,6 @@ class T3Engine:
 
         (ring, st), _ = jax.lax.scan(step, (ring, st), jnp.arange(n_steps))
         return ring, g0, st
-
-    def _megachunk_impl(self, params, cache: KVCache, st: SlotState, *,
-                        n_steps: int, n_inner: int, s_active: int,
-                        needs_top_p: bool):
-        """n_inner x (decode sub-chunk + windowed merge) in one jit.
-
-        Each sub-chunk's merged tokens become frozen prefix for the next, so
-        the ring stays n_steps wide; s_active must cover the LAST sub-chunk's
-        frozen extent (the caller buckets max_pos + (n_inner-1)*n_steps)."""
-        for _ in range(n_inner):
-            ring, g0, st = self._decode_chunk_impl(
-                params, cache, st, n_steps=n_steps, s_active=s_active,
-                needs_top_p=needs_top_p)
-            cache = self._merge_impl(cache, ring, g0, st.global_pos - g0)
-        return cache, st
 
     def _merge_impl(self, frozen: KVCache, ring: KVCache, g0, n_new):
         """Merge ring -> frozen in its own jit: per slot, ring entries

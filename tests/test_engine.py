@@ -231,8 +231,8 @@ def test_generate_pipelined_multiwave_slot_recycling(setup):
 
 
 def test_megachunk_matches_single_chunk(setup):
-    """chunks_per_dispatch > 1 (merge folded into one jit) must produce the
-    same greedy tokens as the per-chunk dispatch path."""
+    """chunks_per_dispatch > 1 (k chunk+merge pairs enqueued per harvest
+    sync) must produce the same greedy tokens as the per-chunk path."""
     cfg, model, params, eng = setup
     import dataclasses as dc
     rng = jax.random.PRNGKey(31)
