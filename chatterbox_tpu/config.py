@@ -191,6 +191,12 @@ class EngineConfig:
     # (docs/PERF.md round-2 notes)
     pipelined_harvest: bool = False  # async one-chunk-late harvest (see
     # T3Engine.generate; wins when host<->device sync RTT is high)
+    compact_tail: bool = False      # once the queue is empty, halve the
+    # live batch by gathering survivors into a compacted cache/state and
+    # decode at the smaller batch (per-step cost scales with lanes); greedy
+    # streams are bit-identical, stochastic streams stay correctly
+    # distributed but differ (batch-shaped gumbel draw)
+    compact_min: int = 8            # don't compact below this batch
     prefill_buckets: tuple = (64, 128, 256, 512, 1024)
     cfg_scale: float = 0.5          # default; per-request override supported
     kv_dtype: str = "bfloat16"      # or "int8" / "int4" (nibble-packed)

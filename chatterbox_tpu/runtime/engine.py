@@ -136,6 +136,7 @@ class T3Engine:
             raise ValueError("EngineConfig.align_stop needs "
                              "T3ModelConfig.align_enabled")
         self._jit_prefill = {}
+        self._jit_compact = {}
         self._decode_chunk = jax.jit(
             self._decode_chunk_impl,
             static_argnames=("n_steps", "s_active", "needs_top_p"),
@@ -330,8 +331,10 @@ class T3Engine:
     def _decode_chunk_impl(self, params, frozen: KVCache, st: SlotState, *,
                            n_steps: int, s_active: int,
                            needs_top_p: bool = True):
+        B = st.tokens.shape[0]     # may be < self.B after tail compaction
+        max_out = st.out_buf.shape[1]
         g0 = st.global_pos                       # frozen length per slot
-        ring = KVCache.zeros(self.cfg, 2 * self.B, n_steps,
+        ring = KVCache.zeros(self.cfg, 2 * B, n_steps,
                              self._ring_dtype)  # int8 ring carries scales
         # Attention only reads the live prefix of the frozen cache —
         # s_active is bucketed by the engine so early decode steps don't
@@ -396,10 +399,10 @@ class T3Engine:
             hit_cap = n_next >= st.max_new
             done = st.done | (live & (hit_eos | hit_cap))
 
-            out_buf = st.out_buf.at[jnp.arange(self.B),
-                                    jnp.clip(st.n_generated, 0, self.max_out - 1)].set(
-                jnp.where(live, tokens, st.out_buf[jnp.arange(self.B),
-                                                   jnp.clip(st.n_generated, 0, self.max_out - 1)]))
+            out_buf = st.out_buf.at[jnp.arange(B),
+                                    jnp.clip(st.n_generated, 0, max_out - 1)].set(
+                jnp.where(live, tokens, st.out_buf[jnp.arange(B),
+                                                   jnp.clip(st.n_generated, 0, max_out - 1)]))
 
             new_st = st._replace(
                 tokens=tokens,
@@ -418,6 +421,109 @@ class T3Engine:
 
         (ring, st), _ = jax.lax.scan(step, (ring, st), jnp.arange(n_steps))
         return ring, g0, st
+
+    # ------------------------------------------------------------------
+    # Tail batch compaction
+    # ------------------------------------------------------------------
+    def _compact(self, keep, n_alive: int):
+        """Gather the live slots into a smaller batch: cache lanes, slot
+        state and sampler rows move to lanes [0, len(keep)); the full-size
+        buffers are donated away.  ``keep`` is the kept old slot ids padded
+        to the new batch size by repeating the first entry (padded rows are
+        marked done/inactive).  Decode steps then run at the smaller batch
+        — the per-step cost scales with lanes, so draining a tail of k live
+        requests at batch k/2..k instead of B saves most of the dead-lane
+        work (the frozen-KV read, ring, and sampler all scale with B)."""
+        m = len(keep)
+        if m not in self._jit_compact:
+            def run(cache, st, keep_ids, n_live):
+                lanes = jnp.stack([keep_ids * 2, keep_ids * 2 + 1],
+                                  axis=1).reshape(-1)
+                nc = KVCache(
+                    k=cache.k[:, lanes], v=cache.v[:, lanes],
+                    k_scale=None if cache.k_scale is None
+                    else cache.k_scale[:, lanes],
+                    v_scale=None if cache.v_scale is None
+                    else cache.v_scale[:, lanes])
+                valid = jnp.arange(m) < n_live
+                ns = SlotState(
+                    tokens=st.tokens[keep_ids],
+                    n_generated=st.n_generated[keep_ids],
+                    global_pos=st.global_pos[keep_ids],
+                    done=st.done[keep_ids] | ~valid,
+                    active=st.active[keep_ids] & valid,
+                    max_new=st.max_new[keep_ids],
+                    out_buf=st.out_buf[keep_ids],
+                    cfg_scale=st.cfg_scale[keep_ids],
+                    align_pos=st.align_pos[keep_ids],
+                    align_stall=st.align_stall[keep_ids],
+                    text_len=st.text_len[keep_ids],
+                    params=SamplingParams(
+                        *(a[keep_ids] for a in st.params)),
+                    sampler=SamplerState(seen=st.sampler.seen[keep_ids],
+                                         rng=st.sampler.rng))
+                return nc, ns
+
+            self._jit_compact[m] = jax.jit(run, donate_argnums=(0, 1))
+        self.cache, self.state = self._jit_compact[m](
+            self.cache, self.state, jnp.asarray(keep, jnp.int32),
+            jnp.asarray(n_alive, jnp.int32))
+
+    def _drain_tail(self, requests, results, needs_top_p: bool, slot_uid,
+                    progress: bool):
+        """Run the remaining (queue-empty) requests to completion, halving
+        the live batch whenever the survivors fit in half the lanes.
+
+        Greedy token streams are bit-identical to the full-B path; with
+        temperature > 0 the sample stream differs (the per-step gumbel draw
+        is shaped by the batch) but stays correctly distributed.  Restores
+        full-size buffers (reset) on exit, so the next generate() admits
+        into a fresh full-B cache."""
+        eng = self.eng
+        B_cur = self.state.tokens.shape[0]
+        pos = np.asarray(self.state.global_pos)
+        caps = {s: int(pos[s]) for s in slot_uid}
+        while slot_uid:
+            alive = sorted(slot_uid)
+            target = B_cur // 2
+            while len(alive) <= target and target >= eng.compact_min:
+                keep = alive + [alive[0]] * (target - len(alive))
+                self._compact(keep, len(alive))
+                slot_uid = {i: slot_uid[s] for i, s in enumerate(alive)}
+                caps = {i: caps[s] for i, s in enumerate(alive)}
+                B_cur = target
+                target = B_cur // 2
+
+            for s in caps:
+                caps[s] = min(self.S, caps[s] + eng.decode_chunk)
+            s_active = self._s_bucket(max(max(caps.values()), 1))
+            ring, g0, self.state = self._decode_chunk(
+                self.params, self.cache, self.state,
+                n_steps=eng.decode_chunk, s_active=s_active,
+                needs_top_p=needs_top_p)
+            self.cache = self._merge(self.cache, ring, g0,
+                                     self.state.global_pos - g0)
+
+            done, active, n_gen = jax.device_get(
+                (self.state.done, self.state.active, self.state.n_generated))
+            finished = [s for s in list(slot_uid) if done[s] and active[s]]
+            if finished:
+                out = np.asarray(self.state.out_buf)
+                for slot in finished:
+                    ridx = slot_uid.pop(slot)
+                    caps.pop(slot)
+                    toks = out[slot, : n_gen[slot]]
+                    by_stop = bool(len(toks) and
+                                   toks[-1] == self.cfg.stop_speech_token)
+                    results[ridx] = Result(
+                        uid=requests[ridx].uid, tokens=toks,
+                        finished_by_stop=by_stop,
+                        ttft_s=self._ttft.get(ridx, 0.0))
+                self.state = self.state._replace(
+                    active=self.state.active.at[np.asarray(finished)].set(False))
+                if progress:
+                    print(f"[engine] {len(results)}/{len(requests)} done")
+        self.reset()
 
     def _merge_impl(self, frozen: KVCache, ring: KVCache, g0, n_new):
         """Merge ring -> frozen in its own jit: per slot, ring entries
@@ -571,6 +677,7 @@ class T3Engine:
                                             results, needs_top_p, phase,
                                             progress)
 
+        slot_uid = {}                      # live slot -> request index
         while sched.pending_count() or sched.active_count():
             # --- admission (scheduler applies wave hysteresis so prefill
             # launches stay in a small set of compiled bucket shapes) ---
@@ -584,8 +691,9 @@ class T3Engine:
                     break
                 self._admit([requests[u] for u in uids], slots)
                 now = time.time() - t_start
-                for u in uids:
+                for s, u in zip(slots, uids):
                     self._ttft[u] = now
+                    slot_uid[s] = u
 
             # --- decode (merge folded into the dispatch) ---
             phase["admit"] += time.time() - t_ph
@@ -602,6 +710,7 @@ class T3Engine:
             if fslots:
                 out = np.asarray(self.state.out_buf)
                 for slot, ridx in zip(fslots, fuids):
+                    slot_uid.pop(slot, None)
                     toks = out[slot, : n_gen[slot]]
                     by_stop = bool(len(toks) and toks[-1] == self.cfg.stop_speech_token)
                     results[ridx] = Result(
@@ -613,6 +722,18 @@ class T3Engine:
                 if progress:
                     print(f"[engine] {len(results)}/{len(requests)} done")
             phase["harvest"] += time.time() - t_ph
+
+            # --- tail compaction: once the queue is empty and the live set
+            # fits in half the lanes, hand the drain to a compacted batch
+            if (eng.compact_tail and self.mesh is None and slot_uid
+                    and not sched.pending_count()
+                    and len(slot_uid) <= self.B // 2
+                    and self.B // 2 >= eng.compact_min):
+                t_ph = time.time()
+                self._drain_tail(requests, results, needs_top_p, slot_uid,
+                                 progress)
+                phase["decode"] += time.time() - t_ph
+                break
 
         if progress or os.environ.get("CHATTERBOX_DEBUG"):
             import sys

@@ -245,3 +245,46 @@ def test_megachunk_matches_single_chunk(setup):
     rb = b.generate(reqs)
     for x, y in zip(ra, rb):
         np.testing.assert_array_equal(x.tokens, y.tokens)
+
+
+def test_compact_tail_matches_full_batch(setup):
+    """Tail batch compaction (queue empty -> gather live slots into half
+    the lanes) must produce the same greedy tokens as the full-B path,
+    across multiple halvings and slot recycling."""
+    cfg, model, params, eng = setup
+    import dataclasses as dc
+    rng = jax.random.PRNGKey(17)
+    # 6 requests over 4 slots with staggered caps: slots recycle, then the
+    # tail drains through compaction 4 -> 2 (compact_min=2)
+    reqs = [mk_req(cfg, jax.random.fold_in(rng, i), 4 + i % 3,
+                   max_new=4 + 2 * i, temperature=0.0, uid=i)
+            for i in range(6)]
+    a = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(3))
+    b = T3Engine(model, params, cfg,
+                 dc.replace(eng, compact_tail=True, compact_min=2),
+                 rng=jax.random.PRNGKey(3))
+    ra = a.generate(reqs)
+    rb = b.generate(reqs)
+    assert any(m <= eng.max_batch_size // 2 for m in b._jit_compact), \
+        "compaction never triggered"
+    for i, (x, y) in enumerate(zip(ra, rb)):
+        np.testing.assert_array_equal(x.tokens, y.tokens, err_msg=f"req {i}")
+        assert x.finished_by_stop == y.finished_by_stop
+
+
+def test_compact_tail_small_batch_reusable(setup):
+    """After a compacted generate, the engine must serve the next call
+    (full-size buffers restored by the tail reset)."""
+    cfg, model, params, eng = setup
+    import dataclasses as dc
+    engine = T3Engine(model, params, cfg,
+                      dc.replace(eng, compact_tail=True, compact_min=2),
+                      rng=jax.random.PRNGKey(4))
+    rng = jax.random.PRNGKey(23)
+    reqs = [mk_req(cfg, jax.random.fold_in(rng, i), 4, max_new=5 + i,
+                   temperature=0.0, uid=i) for i in range(2)]
+    r1 = engine.generate(reqs)
+    r2 = engine.generate(reqs)
+    assert len(r1) == len(r2) == 2
+    for x, y in zip(r1, r2):
+        np.testing.assert_array_equal(x.tokens, y.tokens)
