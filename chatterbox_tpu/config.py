@@ -69,6 +69,10 @@ class T3ModelConfig:
     # INT8 weight-only trunk (ops/quant.py); halves the dominant per-step
     # HBM weight read during decode
     quant_weights: bool = False
+    # W8A8: additionally quantize trunk-dense activations per row and run
+    # the projections as int8 x int8 -> int32 on the MXU (skips the
+    # int8->bf16 weight convert; needs quant_weights)
+    quant_act: bool = False
     # Pallas fused decode attention (ops/decode_attention.py).  Measured
     # SLOWER than XLA's fusions on v5e (28 vs 7.3 ms/step at B=24 — the
     # per-(lane, head) grid's [S, 1] column layouts waste VPU lanes); kept

@@ -203,7 +203,7 @@ class RMSNorm(nn.Module):
 def _dense(cfg, features, name, dtype):
     if cfg.quant_weights:
         from ...ops.quant import QuantDense
-        return QuantDense(features, name=name)
+        return QuantDense(features, act_quant=cfg.quant_act, name=name)
     return nn.Dense(features, use_bias=False, name=name, dtype=dtype,
                     param_dtype=jnp.float32)
 

@@ -19,8 +19,16 @@ from flax import linen as nn
 
 
 class QuantDense(nn.Module):
-    """Drop-in no-bias Dense with int8 weights + per-channel scales."""
+    """Drop-in no-bias Dense with int8 weights + per-channel scales.
+
+    act_quant additionally quantizes the activation per row (symmetric
+    int8, like the decode-attention QK path, backbone.py) and runs the dot
+    as int8 x int8 -> int32 on the MXU — the int8->bf16 weight convert
+    disappears and the MXU runs at its doubled int8 rate.  The activation
+    quant noise is <=0.4%/element over a >=1024-wide dot; a tolerance test
+    (tests/test_ops.py) bounds the end-to-end divergence."""
     features: int
+    act_quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -28,6 +36,14 @@ class QuantDense(nn.Module):
                          (x.shape[-1], self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
                            (self.features,), jnp.float32)
+        if self.act_quant:
+            xf = x.astype(jnp.float32)
+            xa = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) + 1e-9
+            x8 = jnp.clip(jnp.round(xf / xa * 127.0), -127,
+                          127).astype(jnp.int8)
+            y32 = jnp.dot(x8, w_q, preferred_element_type=jnp.int32)
+            return (y32.astype(jnp.float32) * (xa / 127.0)
+                    * scale).astype(x.dtype)
         y = jnp.dot(x, w_q.astype(x.dtype),
                     preferred_element_type=jnp.float32)
         return (y * scale).astype(x.dtype)

@@ -156,3 +156,26 @@ def test_no_sort_fast_path_identical_when_top_p_one():
         ta, st_a = sample_step(logits, params, st_a, needs_top_p=True)
         tb, st_b = sample_step(logits, params, st_b, needs_top_p=False)
         np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+
+
+def test_quant_dense_act_quant_close():
+    """W8A8 (per-row int8 activations, int8 x int8 MXU dot) must stay close
+    to the weight-only int8 path: the activation quant adds <=~0.8% relative
+    error over a 1024-wide dot."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from chatterbox_tpu.ops.quant import QuantDense, quantize_kernel
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((1024, 512)).astype(np.float32) * 0.02
+    x = rng.standard_normal((8, 1024)).astype(np.float32)
+    w_q, scale = quantize_kernel(w)
+    params = {"params": {"w_q": jnp.asarray(w_q), "scale": jnp.asarray(scale)}}
+
+    y_w8 = QuantDense(512).apply(params, jnp.asarray(x))
+    y_w8a8 = QuantDense(512, act_quant=True).apply(params, jnp.asarray(x))
+    ref = np.abs(np.asarray(y_w8, np.float32))
+    err = np.abs(np.asarray(y_w8a8, np.float32) - np.asarray(y_w8, np.float32))
+    denom = np.maximum(ref.mean(), 1e-6)
+    assert err.mean() / denom < 8e-3, err.mean() / denom

@@ -21,21 +21,25 @@ def main():
     S = int(sys.argv[3]) if len(sys.argv) > 3 else 576
     chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     k = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    quant_act = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
+    compact = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
 
     from chatterbox_tpu.config import EngineConfig, T3ModelConfig
     from chatterbox_tpu.models.t3.model import T3Model
     from chatterbox_tpu.ops.quant import quantize_t3_params
     from chatterbox_tpu.runtime.engine import T3Engine, Request
 
-    print(f"devices: {jax.devices()}  kv={kv_dtype} B={B} S={S} k={k}",
-          file=sys.stderr)
+    print(f"devices: {jax.devices()}  kv={kv_dtype} B={B} S={S} k={k} "
+          f"a8={int(quant_act)} compact={int(compact)}", file=sys.stderr)
     rng = jax.random.PRNGKey(0)
     rs = np.random.default_rng(0)
 
     base_cfg = T3ModelConfig()
-    cfg = dataclasses.replace(base_cfg, quant_weights=True)
+    cfg = dataclasses.replace(base_cfg, quant_weights=True,
+                              quant_act=quant_act)
     eng = EngineConfig(max_batch_size=B, max_model_len=S, decode_chunk=chunk,
-                       kv_dtype=kv_dtype, chunks_per_dispatch=k)
+                       kv_dtype=kv_dtype, chunks_per_dispatch=k,
+                       compact_tail=compact)
     base_model = T3Model(base_cfg)
     model = T3Model(cfg)
     params = jax.jit(lambda r: base_model.init(
