@@ -53,9 +53,15 @@ def main():
 
     # ---------------- T3 (INT8 weights + INT8 KV) ----------------
     import dataclasses
+    import os
     from chatterbox_tpu.ops.quant import quantize_t3_params
+    # experiment knobs (A/B without editing the bench; defaults = shipped)
+    quant_act = bool(int(os.environ.get("CHATTERBOX_BENCH_W8A8", "0")))
+    compact = bool(int(os.environ.get("CHATTERBOX_BENCH_COMPACT_TAIL", "0")))
+    interleave = bool(int(os.environ.get("CHATTERBOX_BENCH_INTERLEAVE", "0")))
     base_cfg = T3ModelConfig()
-    cfg = dataclasses.replace(base_cfg, quant_weights=True)
+    cfg = dataclasses.replace(base_cfg, quant_weights=True,
+                              quant_act=quant_act)
     # diagnostic only: the tunnel's sync RTT drifts 6-30+ ms (docs/PERF.md)
     # and moves the recorded score; an adaptive harvest-mode switch was
     # tried and rejected — in an A/B right after a 26 ms probe the simple
@@ -66,7 +72,11 @@ def main():
     # request at 4577.88 tok/s, README.md:151): same KV capacity, same
     # request count, matched input/output volume with varied lengths
     eng = EngineConfig(max_batch_size=48, max_model_len=1200, decode_chunk=32,
-                       kv_dtype="int8")
+                       kv_dtype="int8", compact_tail=compact,
+                       admit_interleave=interleave)
+    if quant_act or compact or interleave:
+        log(f"experiment knobs: w8a8={quant_act} compact_tail={compact} "
+            f"interleave={interleave}")
     base_model = T3Model(base_cfg)
     model = T3Model(cfg)
     t0 = time.time()

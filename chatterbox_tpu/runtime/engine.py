@@ -694,6 +694,10 @@ class T3Engine:
                 for s, u in zip(slots, uids):
                     self._ttft[u] = now
                     slot_uid[s] = u
+                if eng.admit_interleave:
+                    # one wave per chunk: already-admitted requests start
+                    # decoding while the rest of the queue prefills
+                    break
 
             # --- decode (merge folded into the dispatch) ---
             phase["admit"] += time.time() - t_ph
@@ -787,6 +791,8 @@ class T3Engine:
                 now = time.time() - t_start
                 for u in uids:
                     self._ttft[u] = now
+                if eng.admit_interleave:
+                    break
             phase["admit"] += time.time() - t_ph
 
             t_ph = time.time()

@@ -230,6 +230,31 @@ def test_generate_pipelined_multiwave_slot_recycling(setup):
     assert len(set(strings)) == len(strings), "cross-request token contamination"
 
 
+def test_admit_interleave_matches_drained(setup):
+    """admit_interleave=True (one prefill wave per decode chunk) returns the
+    same greedy tokens as the default drain-all-waves admission.
+
+    Lanes decode independently, so admission timing cannot change a lane's
+    stream; uniform text lengths keep every prefill wave in one padded
+    bucket shape so fp reassociation can't flip near-ties either."""
+    cfg, model, params, eng = setup
+    import dataclasses as dc
+    rng = jax.random.PRNGKey(31)
+    # 2 slots, 6 requests, uniform text length -> multiple admission waves
+    reqs = [mk_req(cfg, jax.random.fold_in(rng, i), 6,
+                   max_new=4 + (i % 3) * 3, temperature=0.0, uid=i)
+            for i in range(6)]
+    small = dc.replace(eng, max_batch_size=2)
+    a = T3Engine(model, params, cfg, small, rng=jax.random.PRNGKey(5))
+    b = T3Engine(model, params, cfg,
+                 dc.replace(small, admit_interleave=True),
+                 rng=jax.random.PRNGKey(5))
+    ra = a.generate(reqs)
+    rb = b.generate(reqs)
+    for x, y in zip(ra, rb):
+        np.testing.assert_array_equal(x.tokens, y.tokens)
+
+
 def test_megachunk_matches_single_chunk(setup):
     """chunks_per_dispatch > 1 (k chunk+merge pairs enqueued per harvest
     sync) must produce the same greedy tokens as the per-chunk path."""
