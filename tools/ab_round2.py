@@ -1,0 +1,181 @@
+"""Round-2 A/B campaign in ONE process (one TPU client acquisition).
+
+The tunnel's failure modes this round include multi-minute client-acquire
+hangs, so every pending measurement runs under a single client: RTT probe,
+the w8/w8a8/bf16 dense microbench, then decode-engine A/B/A over the
+experiment knobs (baseline / quant_act / compact_tail / both), each on the
+bench_t3 workload (96 reqs x 130 text x 400 caps, B=48, S=576, int8 KV).
+
+Engines are built and torn down sequentially (params + cache ~2.2 GB each;
+dropping references frees HBM before the next config).
+
+Usage: python tools/ab_round2.py [quick]   # quick: skip the ubench
+"""
+import dataclasses
+import gc
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def probe_rtt(n=8):
+    x = jnp.ones((8,), jnp.float32)
+    f = jax.jit(lambda a: a + 1)
+    np.asarray(f(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        x = f(x)
+        np.asarray(x)
+        ts.append(time.time() - t0)
+    return sorted(ts)[n // 2] * 1e3
+
+
+def ubench_dense():
+    """w8 / w8a8 / bf16 trunk-projection variants (cf. tools/ubench_dense)."""
+    L, B, H, I = 30, 96, 1024, 4096
+    SHAPES = [(H, 3 * H), (H, H), (H, I), (H, I), (I, H)]
+    ITERS = 20
+    key = jax.random.PRNGKey(0)
+    ws, ss, wb = [], [], []
+    for i, (fin, fout) in enumerate(SHAPES):
+        k = jax.random.fold_in(key, i)
+        w = jax.random.normal(k, (L, fin, fout), jnp.float32) * 0.02
+        amax = jnp.maximum(jnp.abs(w).max(axis=1), 1e-8)
+        sc = amax / 127.0
+        wq = jnp.clip(jnp.round(w / sc[:, None, :]), -127,
+                      127).astype(jnp.int8)
+        ws.append(wq)
+        ss.append(sc)
+        wb.append(w.astype(jnp.bfloat16))
+    x = jax.random.normal(key, (B, H), jnp.bfloat16)
+    xi = jax.random.normal(jax.random.fold_in(key, 99), (B, I), jnp.bfloat16)
+    jax.block_until_ready(x)
+    log(f"ubench gen done")
+
+    def loop(body, W):
+        def run(x_, xi_):
+            def step(acc, l):
+                for i, (fin, fout) in enumerate(SHAPES):
+                    a = x_ if fin == H else xi_
+                    acc = acc + jnp.sum(
+                        body(a, W[i][l], ss[i][l]).astype(jnp.float32))
+                return acc, None
+            acc, _ = jax.lax.scan(step, jnp.float32(0),
+                                  jnp.arange(L * ITERS) % L)
+            return acc
+        return jax.jit(run)
+
+    def w8(a, wq, sc):
+        return (jnp.dot(a, wq.astype(a.dtype),
+                        preferred_element_type=jnp.float32) * sc).astype(a.dtype)
+
+    def w8a8(a, wq, sc):
+        af = a.astype(jnp.float32)
+        aa = jnp.max(jnp.abs(af), axis=-1, keepdims=True) + 1e-9
+        a8 = jnp.clip(jnp.round(af / aa * 127.0), -127, 127).astype(jnp.int8)
+        y32 = jnp.dot(a8, wq, preferred_element_type=jnp.int32)
+        return (y32.astype(jnp.float32) * (aa / 127.0) * sc).astype(a.dtype)
+
+    def bf16(a, w, sc):
+        return jnp.dot(a, w, preferred_element_type=jnp.float32).astype(a.dtype)
+
+    for name, body, W in (("w8", w8, ws), ("w8a8", w8a8, ws),
+                          ("bf16", bf16, wb)):
+        f = loop(body, W)
+        out = f(x, xi)
+        np.asarray(out)
+        t1 = time.time()
+        np.asarray(f(x, xi))
+        dt = (time.time() - t1) / ITERS
+        log(f"ubench {name:6s} {dt * 1e3:8.3f} ms/30layers "
+            f"({dt * 1e6 / L:6.1f} us/layer)")
+
+
+def engine_run(quant_act: bool, compact: bool, interleave: bool = False,
+               B=48, S=576, chunk=32):
+    from chatterbox_tpu.config import EngineConfig, T3ModelConfig
+    from chatterbox_tpu.models.t3.model import T3Model
+    from chatterbox_tpu.ops.quant import quantize_t3_params
+    from chatterbox_tpu.runtime.engine import Request, T3Engine
+
+    rng = jax.random.PRNGKey(0)
+    rs = np.random.default_rng(0)
+    base_cfg = T3ModelConfig()
+    cfg = dataclasses.replace(base_cfg, quant_weights=True,
+                              quant_act=quant_act)
+    eng = EngineConfig(max_batch_size=B, max_model_len=S, decode_chunk=chunk,
+                       kv_dtype="int8", compact_tail=compact,
+                       admit_interleave=interleave)
+    base_model = T3Model(base_cfg)
+    model = T3Model(cfg)
+    params = jax.jit(lambda r: base_model.init(
+        r, jnp.zeros((1, cfg.speaker_embed_size)),
+        jnp.zeros((1, 4), jnp.int32), 0.5 * jnp.ones((1, 1)),
+        jnp.zeros((1, 8), jnp.int32), jnp.full((1,), 8, jnp.int32),
+        method=lambda m, *a: m.init_all(*a)))(rng)
+    params = quantize_t3_params(jax.tree.map(np.asarray, params))
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x).astype(jnp.bfloat16)
+        if jnp.asarray(x).dtype == jnp.float32 else jnp.asarray(x), params)
+    jax.block_until_ready(params)
+    engine = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(1))
+
+    reqs = []
+    for i in range(2 * B):
+        text = rs.integers(1, cfg.text_vocab_size, size=130).astype(np.int32)
+        cond = (0.02 * rs.standard_normal(
+            (cfg.cond_len, cfg.hidden_size))).astype(np.float32)
+        reqs.append(Request(text_ids=text, cond_emb=cond,
+                            max_new_tokens=400, temperature=0.8,
+                            top_p=0.8, uid=i))
+    engine.precompile()
+    warm = [Request(text_ids=reqs[i].text_ids, cond_emb=reqs[i].cond_emb,
+                    max_new_tokens=40, uid=i) for i in range(B)]
+    for n in (1, 4, len(warm)):
+        engine.generate(warm[:n])
+        engine.reset()
+    t0 = time.time()
+    results = engine.generate(reqs)
+    dt = time.time() - t0
+    tot = sum(len(r.tokens) for r in results)
+    ttfts = sorted(r.ttft_s for r in results)
+    tok_s = tot / dt
+    log(f"engine a8={int(quant_act)} compact={int(compact)} "
+        f"il={int(interleave)}: {tot} tok in {dt:.2f}s -> {tok_s:.1f} tok/s; "
+        f"TTFT p50 {ttfts[len(ttfts)//2]:.2f}s")
+    del engine, params, model, base_model
+    gc.collect()
+    return tok_s
+
+
+def main():
+    quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+    log(f"devices: {jax.devices()}")
+    log(f"sync RTT: {probe_rtt():.1f} ms")
+    if not quick:
+        ubench_dense()
+    # A/B/A: baseline bracket around the candidates, same window
+    base1 = engine_run(False, False)
+    a8 = engine_run(True, False)
+    comp = engine_run(False, True)
+    both = engine_run(True, True)
+    base2 = engine_run(False, False)
+    il = engine_run(False, False, interleave=True)
+    log(f"sync RTT end: {probe_rtt():.1f} ms")
+    log(f"SUMMARY base={base1:.0f}/{base2:.0f} a8={a8:.0f} compact={comp:.0f} "
+        f"both={both:.0f} interleave={il:.0f}")
+
+
+if __name__ == "__main__":
+    main()
