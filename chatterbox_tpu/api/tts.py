@@ -109,9 +109,9 @@ class ChatterboxTTS:
     # Construction
     # ------------------------------------------------------------------
     HF_REPO = "ResembleAI/chatterbox"
-    # pinned revisions, reference tts.py:163 / mtl_tts.py:195
+    # pinned revisions, reference tts.py:163 / tts.py:195
     HF_REVISION = {"english": "1b475dffa71fb191cb6d5901215eb6f55635a9b6",
-                   "multilingual": "main"}
+                   "multilingual": "c819eeccdf99310da26bca3bc5ace120db93471a"}
 
     @classmethod
     def from_pretrained(cls, repo_id: Optional[str] = None,
@@ -124,12 +124,13 @@ class ChatterboxTTS:
         environments download the files out of band and use ``from_local``.
         """
         repo = repo_id or cls.HF_REPO
-        files = ["ve.safetensors", "s3gen.safetensors", "conds.pt",
-                 "tokenizer.json"]
-        files.append("t3_cfg.safetensors" if variant == "english"
-                     else "t3_23lang.safetensors")
-        if variant == "multilingual":
-            files += ["grapheme_mtl_merged_expanded_v1.json",
+        # exact reference artifact lists: tts.py:165 (english) /
+        # tts.py:197 (from_pretrained_multilingual)
+        files = ["ve.safetensors", "s3gen.safetensors", "conds.pt"]
+        if variant == "english":
+            files += ["t3_cfg.safetensors", "tokenizer.json"]
+        else:
+            files += ["t3_23lang.safetensors", "mtl_tokenizer.json",
                       "Cangjie5_TC.json"]
         try:
             from huggingface_hub import hf_hub_download
@@ -210,8 +211,13 @@ class ChatterboxTTS:
         ve_params = jax.tree.map(jnp.asarray,
                                  convert_voice_encoder_params(ve_sd))
 
-        tok_cls = EnTokenizer if variant == "english" else MTLTokenizer
-        tokenizer = tok_cls.from_pretrained(tokenizer_path or str(ckpt_dir))
+        if variant == "english":
+            tokenizer = EnTokenizer.from_pretrained(
+                tokenizer_path or str(ckpt_dir))
+        else:
+            tokenizer = MTLTokenizer.from_pretrained(
+                tokenizer_path or str(ckpt_dir),
+                cangjie_path=str(ckpt_dir / "Cangjie5_TC.json"))
 
         obj = cls._assemble(base, t3_params, s3gen_params, campplus_params,
                             ve_params, s3tok_params, tokenizer, variant,
@@ -342,6 +348,15 @@ class ChatterboxTTS:
             self._cond_cache.pop(next(iter(self._cond_cache)))
         self._cond_cache[key] = conds
         return conds
+
+    def s3_tokenize(self, wav16: np.ndarray) -> np.ndarray:
+        """16 kHz wav -> S3 speech-token ids (reference S3Tokenizer.forward,
+        s3tokenizer.py:90-126).  Exposed for token-id goldens/diagnostics."""
+        mel = dsp.s3_tokenizer_mel(wav16, self.s3tok.cfg.n_mels)
+        toks, tlen = jax.jit(lambda p, m, l: self.s3tok.apply(p, m, l))(
+            self.s3tok_params, jnp.asarray(mel[None]),
+            jnp.asarray([mel.shape[0]], jnp.int32))
+        return np.asarray(toks[0, : int(tlen[0])], np.int32)
 
     def conditionals_from_wav(self, wav24: np.ndarray,
                               exaggeration: float = 0.5) -> Conditionals:

@@ -14,6 +14,7 @@ import json
 import logging
 import os
 import re
+import unicodedata
 from pathlib import Path
 from typing import List, Optional
 from unicodedata import normalize
@@ -142,11 +143,24 @@ def add_russian_stress(text: str) -> str:
 
 
 class ChineseCangjieConverter:
-    """zh text -> Cangjie codes (mtl_tokenizer.py:126-201).  Requires the
-    Cangjie5_TC.json asset; identity if unavailable."""
+    """zh text -> ``[cj_X]...[cj_.]`` Cangjie bracket tokens (reference
+    mtl_tokenizer.py:126-201 ChineseCangjieConverter).
+
+    The Cangjie5_TC.json asset is a JSON **list** of ``"word\\tcode"``
+    strings (the reference splits each entry on tab,
+    mtl_tokenizer.py:138-147).  Each Lo-category glyph maps to its code,
+    plus a homophone disambiguation index — the position of the glyph among
+    all glyphs sharing that code, appended as decimal digits when > 0
+    (mtl_tokenizer.py:169-176).  Every character of ``code + index`` is
+    emitted as a ``[cj_c]`` token, terminated by ``[cj_.]``
+    (mtl_tokenizer.py:186-195) — this is the token space the multilingual
+    checkpoint was trained on (the MTL vocab carries exactly
+    [cj_a..z], [cj_0..9], [cj_.]).  Identity if the asset is unavailable.
+    """
 
     def __init__(self, asset_path: Optional[str] = None):
-        self.table = {}
+        self.word2cj = {}
+        self.cj2word = {}
         self.seg = None
         cands = [asset_path,
                  os.environ.get("CHATTERBOX_CANGJIE_JSON", ""),
@@ -154,7 +168,8 @@ class ChineseCangjieConverter:
         for c in cands:
             if c and os.path.isfile(c):
                 with open(c, encoding="utf-8") as f:
-                    self.table = json.load(f)
+                    data = json.load(f)
+                self._load_entries(data)
                 break
         try:
             import spacy_pkuseg
@@ -162,17 +177,34 @@ class ChineseCangjieConverter:
         except Exception:
             self.seg = None
 
+    def _load_entries(self, data) -> None:
+        for entry in data:
+            word, code = entry.split("\t")[:2]
+            self.word2cj[word] = code
+            self.cj2word.setdefault(code, []).append(word)
+
+    def _encode(self, glyph: str) -> Optional[str]:
+        code = self.word2cj.get(glyph)
+        if code is None:  # e.g. Japanese hiragana mixed into zh text
+            return None
+        index = self.cj2word[code].index(glyph)
+        return code + (str(index) if index > 0 else "")
+
     def __call__(self, text: str) -> str:
-        if not self.table:
+        if not self.word2cj:
             return text
-        words = self.seg.cut(text) if self.seg else list(text)
+        full_text = " ".join(self.seg.cut(text)) if self.seg else text
         out = []
-        for w in words:
-            for ch in w:
-                code = self.table.get(ch)
-                out.append(code if code else ch)
-            out.append(" ")
-        return "".join(out).strip()
+        for t in full_text:
+            if unicodedata.category(t) == "Lo":
+                cj = self._encode(t)
+                if cj is None:
+                    out.append(t)
+                    continue
+                out.append("".join(f"[cj_{c}]" for c in cj) + "[cj_.]")
+            else:
+                out.append(t)
+        return "".join(out)
 
 
 class MTLTokenizer(EnTokenizer):

@@ -46,11 +46,25 @@ def convert_s3tokenizer_params(
     pdown = s.raw("quantizer._codebook.project_down.weight")  # [fsq, dim]
     if pdown.shape[1] != dim:
         raise ValueError(f"project_down dim {pdown.shape} vs encoder {dim}")
+    # Head count is NOT derivable from any checkpoint shape, and a wrong
+    # value changes emitted token ids silently.  The only head count we can
+    # vouch for is the published speech_tokenizer_v2_25hz one: dim=1280 ->
+    # 20 heads (d_head 64, whisper-large style).  Any other dim must be
+    # given a head count explicitly by the caller — refuse to guess.
+    if dim == 1280:
+        n_heads = 20
+    elif dim % 64 == 0 and dim <= 512:
+        n_heads = dim // 64  # tiny test configs only
+    else:
+        raise ValueError(
+            f"s3tokenizer checkpoint has encoder dim {dim}, which is not the "
+            f"published speech_tokenizer_v2_25hz dim (1280 -> 20 heads); the "
+            f"head count cannot be derived from shapes and a wrong guess "
+            f"silently corrupts token ids. Construct S3TokenizerConfig "
+            f"explicitly for this checkpoint.")
     cfg = S3TokenizerConfig(
         n_mels=n_mels, dim=dim,
-        # head count is not encoded in any shape; 20 is the published
-        # speech_tokenizer_v2_25hz value (whisper-large style d_head 64)
-        n_heads=20 if dim % 20 == 0 else max(1, dim // 64),
+        n_heads=n_heads,
         n_layers=len(layer_ids),
         fsmn_kernel=int(fsmn.shape[2]),
         fsq_dims=int(pdown.shape[0]),

@@ -1,11 +1,13 @@
-// Native continuous-batching scheduler + paged-KV block allocator.
+// Native continuous-batching scheduler.
 //
 // TPU-native counterpart of the engine-side native code the reference gets
 // from the vLLM wheel (C++ scheduler / block manager; SURVEY §2.10).  The
 // device compute path stays in XLA/Pallas; this library owns the host-side
 // hot bookkeeping: request queue, slot map, admission waves, per-slot
-// position tracking (feeding the s_active bucket choice) and a block
-// allocator for paged-KV layouts.
+// position tracking (feeding the s_active bucket choice).  There is
+// deliberately no paged-KV block allocator: the engine is slot-based
+// (contiguous per-slot cache regions) because paged layouts measured slower
+// on TPU (docs/PERF.md, layout experiments).
 //
 // C ABI for ctypes (chatterbox_tpu/runtime/native.py).  Build: native/Makefile.
 
@@ -38,17 +40,6 @@ struct Scheduler {
   explicit Scheduler(int32_t n, int32_t len) : n_slots(n), max_model_len(len) {
     slots.resize(n);
     for (int32_t i = n - 1; i >= 0; --i) free_slots.push_back(i);
-  }
-};
-
-struct BlockAllocator {
-  int32_t n_blocks;
-  int32_t block_size;
-  std::vector<int32_t> free_list;
-
-  BlockAllocator(int32_t n, int32_t bs) : n_blocks(n), block_size(bs) {
-    free_list.reserve(n);
-    for (int32_t i = n - 1; i >= 0; --i) free_list.push_back(i);
   }
 };
 
@@ -149,34 +140,6 @@ int32_t sched_harvest(void* h, const uint8_t* done_flags, int32_t* out_slots,
     }
   }
   return n;
-}
-
-// ---------------------------------------------------------- block allocator
-void* blockalloc_create(int32_t n_blocks, int32_t block_size) {
-  return new BlockAllocator(n_blocks, block_size);
-}
-
-void blockalloc_destroy(void* h) { delete static_cast<BlockAllocator*>(h); }
-
-int32_t blockalloc_free_count(void* h) {
-  return static_cast<int32_t>(
-      static_cast<BlockAllocator*>(h)->free_list.size());
-}
-
-// Allocate n blocks into out_ids; returns n on success, 0 if insufficient.
-int32_t blockalloc_alloc(void* h, int32_t n, int32_t* out_ids) {
-  auto* a = static_cast<BlockAllocator*>(h);
-  if (static_cast<int32_t>(a->free_list.size()) < n) return 0;
-  for (int32_t i = 0; i < n; ++i) {
-    out_ids[i] = a->free_list.back();
-    a->free_list.pop_back();
-  }
-  return n;
-}
-
-void blockalloc_free(void* h, const int32_t* ids, int32_t n) {
-  auto* a = static_cast<BlockAllocator*>(h);
-  for (int32_t i = 0; i < n; ++i) a->free_list.push_back(ids[i]);
 }
 
 }  // extern "C"

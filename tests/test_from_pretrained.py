@@ -59,6 +59,11 @@ def test_from_pretrained_english_resolution(fake_hub, monkeypatch, tmp_path):
 
 
 def test_from_pretrained_multilingual_resolution(fake_hub, monkeypatch):
+    """NOTE: a mocked hub can only check internal consistency with the file
+    list we request — not that the names exist on the real hub.  The list
+    below is copied verbatim from the reference's own working download call
+    (tts.py:197 from_pretrained_multilingual, pinned revision tts.py:195),
+    which is the strongest hub-reality evidence available offline."""
     monkeypatch.setattr(
         ChatterboxTTS, "from_local",
         classmethod(lambda cls, d, **kw: (Path(d), kw.get("variant"))))
@@ -66,10 +71,11 @@ def test_from_pretrained_multilingual_resolution(fake_hub, monkeypatch):
     assert variant == "multilingual"
     files = {f for (_, f, _, _) in fake_hub}
     assert files == {"ve.safetensors", "s3gen.safetensors", "conds.pt",
-                     "tokenizer.json", "t3_23lang.safetensors",
-                     "grapheme_mtl_merged_expanded_v1.json",
+                     "t3_23lang.safetensors", "mtl_tokenizer.json",
                      "Cangjie5_TC.json"}
-    assert {r for (_, _, r, _) in fake_hub} == {"main"}
+    # pinned, like the english variant (reference tts.py:195)
+    assert {r for (_, _, r, _) in fake_hub} == \
+        {"c819eeccdf99310da26bca3bc5ace120db93471a"}
 
 
 def test_from_pretrained_offline_error(monkeypatch):

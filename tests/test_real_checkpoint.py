@@ -82,6 +82,35 @@ def test_real_checkpoint_audio_prompt_conditioning():
     assert np.isfinite(wav).all() and len(wav) % 960 == 0
 
 
+@needs_ckpt
+def test_real_checkpoint_s3tokenizer_token_ids():
+    """Exact S3-tokenizer token ids on real weights, recorded as goldens.
+
+    This is the check that de-risks the non-shape-derivable n_heads value
+    (models/s3tokenizer/weights.py): a wrong head count changes ids
+    silently, and the offline parity test compares only against a torch
+    mirror by the same author.  First run records tests/goldens/
+    s3tok_ids.json from a deterministic synthetic wav; later runs require
+    exact equality.
+    """
+    from chatterbox_tpu.api.tts import ChatterboxTTS
+
+    goldens = Path(__file__).parent / "goldens" / "s3tok_ids.json"
+    tts = ChatterboxTTS.from_local(CKPT, deterministic=True,
+                                   max_batch_size=2, max_model_len=640)
+    t = np.arange(2 * 16000) / 16000.0
+    wav16 = (0.2 * np.sin(2 * np.pi * 220 * t)
+             + 0.05 * np.sin(2 * np.pi * 447 * t)).astype(np.float32)
+    ids = np.asarray(tts.s3_tokenize(wav16)).ravel().tolist()
+    assert len(ids) >= 25 and min(ids) >= 0 and max(ids) < 6561
+    if not goldens.exists():
+        goldens.parent.mkdir(exist_ok=True)
+        goldens.write_text(json.dumps({"ids": ids}))
+        pytest.skip(f"goldens recorded to {goldens}; re-run to compare")
+    want = json.loads(goldens.read_text())["ids"]
+    assert ids == want, "s3tokenizer token ids drifted vs recorded goldens"
+
+
 def test_from_pretrained_file_resolution(monkeypatch, tmp_path):
     """Offline mock of the HF download path: pinned revision, full file set,
     from_local invoked on the download directory (reference tts.py:160-188)."""
@@ -123,10 +152,10 @@ def test_from_pretrained_file_resolution(monkeypatch, tmp_path):
                for c in calls)
     assert all(c[0] == "ResembleAI/chatterbox" for c in calls)
 
-    # multilingual pulls the MTL artifacts
+    # multilingual pulls the MTL artifacts (reference tts.py:197)
     calls.clear()
     tts_mod.ChatterboxTTS.from_pretrained(variant="multilingual")
     names = [c[1] for c in calls]
     assert "t3_23lang.safetensors" in names
-    assert "grapheme_mtl_merged_expanded_v1.json" in names
+    assert "mtl_tokenizer.json" in names
     assert "Cangjie5_TC.json" in names

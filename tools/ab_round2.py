@@ -170,8 +170,8 @@ def main():
     a8 = engine_run(True, False)
     comp = engine_run(False, True)
     both = engine_run(True, True)
-    base2 = engine_run(False, False)
     il = engine_run(False, False, interleave=True)
+    base2 = engine_run(False, False)
     log(f"sync RTT end: {probe_rtt():.1f} ms")
     log(f"SUMMARY base={base1:.0f}/{base2:.0f} a8={a8:.0f} compact={comp:.0f} "
         f"both={both:.0f} interleave={il:.0f}")
