@@ -4,12 +4,88 @@
 The reference's headline numbers (README.md:132-156, RTX 3090): 2394 s of
 audio in 74.9 s => ~32x realtime end-to-end; T3 alone 4,577.88 tok/s.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}; per-stage
-diagnostics go to stderr.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}
+(+ t3_tok_s / ttft_p50_s diagnostics); per-stage logs go to stderr.
+
+Outage resilience: the tunneled chip has hard-hang windows (a tiny jitted
+add + fetch never returns — docs/PERF.md round-2/3 notes) in addition to
+6-35 ms RTT drift.  A hung client cannot be recovered in-process, so by
+default this script SUPERVISES: it re-execs itself as a child process
+(CHATTERBOX_BENCH_CHILD=1) with a stderr-progress watchdog, kills a stalled
+child (fresh process = fresh client acquisition) and retries up to
+CHATTERBOX_BENCH_ATTEMPTS times.  stdout stays exactly one JSON line.
 """
 import json
+import os
 import sys
 import time
+
+
+def _supervise() -> int:
+    """Run the real bench as a watched child; retry through hang windows.
+
+    The watchdog is on PROGRESS, not wall time: the child logs a line per
+    stage (probe, init, warmup, run, ...), so stderr silence longer than
+    CHATTERBOX_BENCH_STALL_S (default 600 s — the longest healthy silent
+    stretch, cold-cache decode-bucket precompile, is ~240 s; S3Gen param
+    init measured ~165 s in the worst recorded window) means the tunnel
+    hung mid-stage and the client is dead."""
+    import subprocess
+    import threading
+    attempts = int(os.environ.get("CHATTERBOX_BENCH_ATTEMPTS", "4"))
+    stall_s = float(os.environ.get("CHATTERBOX_BENCH_STALL_S", "600"))
+    env = dict(os.environ, CHATTERBOX_BENCH_CHILD="1")
+    for attempt in range(1, attempts + 1):
+        print(f"[bench] attempt {attempt}/{attempts}", file=sys.stderr,
+              flush=True)
+        proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, env=env,
+                                start_new_session=True)
+        last = [time.time()]
+
+        def tee():
+            for line in proc.stderr:
+                last[0] = time.time()
+                sys.stderr.buffer.write(line)
+                sys.stderr.flush()
+        t = threading.Thread(target=tee, daemon=True)
+        t.start()
+        killed = False
+        while True:
+            rc = proc.poll()
+            if rc is not None:
+                break
+            if time.time() - last[0] > stall_s:
+                print(f"[bench] no progress for {stall_s:.0f}s — killing "
+                      "attempt (tunnel hang window)", file=sys.stderr,
+                      flush=True)
+                killed = True
+                try:
+                    os.killpg(proc.pid, 15)
+                    time.sleep(5)
+                    os.killpg(proc.pid, 9)
+                except ProcessLookupError:
+                    pass
+                proc.wait()
+                break
+            time.sleep(5)
+        t.join(timeout=5)
+        out = proc.stdout.read() or b""
+        if not killed and proc.returncode == 0 and out.strip():
+            sys.stdout.buffer.write(out)
+            sys.stdout.flush()
+            return 0
+        print(f"[bench] attempt {attempt} failed "
+              f"(rc={proc.returncode}, killed={killed}); retrying in 30s",
+              file=sys.stderr, flush=True)
+        time.sleep(30)
+    print("[bench] all attempts failed", file=sys.stderr, flush=True)
+    return 1
+
+
+if not os.environ.get("CHATTERBOX_BENCH_CHILD"):
+    sys.exit(_supervise())
 
 import jax
 import jax.numpy as jnp
@@ -111,11 +187,13 @@ def main():
 
     t0 = time.time()
     engine.precompile()
+    log(f"T3 precompile: {time.time() - t0:.1f}s")
     warm = [Request(text_ids=reqs[i].text_ids, cond_emb=reqs[i].cond_emb,
                     max_new_tokens=40, uid=i) for i in range(eng.max_batch_size)]
     for n in (1, 4, len(warm)):
         engine.generate(warm[:n])
         engine.reset()
+        log(f"T3 warm n={n} done")
     log(f"T3 warmup: {time.time() - t0:.1f}s")
 
     t0 = time.time()
@@ -191,6 +269,9 @@ def main():
         "value": round(e2e_rt, 2),
         "unit": "audio_seconds/second/chip",
         "vs_baseline": round(e2e_rt / BASELINE_E2E_RT, 4),
+        "t3_tok_s": round(t3_tok_s, 1),
+        "ttft_p50_s": round(p50, 2),
+        "ttft_p95_s": round(p95, 2),
     }))
 
 

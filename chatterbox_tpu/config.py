@@ -231,6 +231,21 @@ class EngineConfig:
     align_stop: bool = False
     align_stall_patience: int = 24   # ~1 s of speech tokens
     align_end_margin: int = 2
+    # Speculative multi-token decode (docs/PERF.md "Speculative multi-token
+    # decode"): a layer-skip self-draft (first `spec_draft_layers` trunk
+    # layers + the shared norm/speech head) proposes `spec_tokens` tokens
+    # per cycle; the full trunk verifies all of them in ONE multi-query
+    # attention pass (M+1 q-rows amortize the dominant frozen-KV read), and
+    # the longest prefix whose verify samples match the draft is committed
+    # (plus the bonus verify token).  Greedy streams with
+    # spec_draft_layers == n_layers reproduce the plain path bit-for-bit
+    # (test_spec_decode.py); with a truncated draft the committed stream is
+    # still exactly the verify sampler's distribution — only throughput
+    # depends on the draft's acceptance rate (measure with
+    # tools/probe_draft.py on real checkpoints before enabling).
+    spec_decode: bool = False
+    spec_draft_layers: int = 10
+    spec_tokens: int = 3             # M drafted tokens per cycle
 
 
 @dataclass(frozen=True)

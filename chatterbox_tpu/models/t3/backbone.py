@@ -233,8 +233,8 @@ class Attention(nn.Module):
                  frozen_k=None, frozen_v=None, frozen_len=None,
                  ring_k=None, ring_v=None, ring_idx=None,
                  frozen_k_scale=None, frozen_v_scale=None,
-                 ring_k_scale=None, ring_v_scale=None):
-        """Two modes:
+                 ring_k_scale=None, ring_v_scale=None, ring_base=None):
+        """Three modes:
 
         Block mode (frozen_k is None): self-attention within the block with
         causal + valid_len masking.  Returns (out, block_k, block_v) with
@@ -244,6 +244,12 @@ class Attention(nn.Module):
         plus ring[0:ring_idx] plus the current token; writes this token's
         K/V into the ring at scalar index ring_idx.  Returns
         (out, new_ring_k, new_ring_v).
+
+        Verify mode (frozen_k given, ring_base [B] given): multi-query
+        speculative-decode verify — T fed tokens per lane attend
+        frozen[0:frozen_len[b]] + ring[0:ring_base[b]] (committed chunk
+        entries) + a causal self-block; the block K/V is written into the
+        ring at per-lane offsets ring_base[b] + t.  Packed frozen only.
         """
         cfg = self.cfg
         d = cfg.head_dim
@@ -269,6 +275,13 @@ class Attention(nn.Module):
         heads_packed = frozen_k.ndim == 3          # [B, S, Hkv * D']
         int4_packed = frozen_k.shape[-1] == \
             (cfg.n_kv_heads * d // 2 if heads_packed else d // 2)
+        if ring_base is not None:
+            if not heads_packed:
+                raise ValueError("verify mode needs the packed frozen cache")
+            return self._verify_packed(
+                x, q, k, v, frozen_k, frozen_v, frozen_k_scale,
+                frozen_v_scale, frozen_len, ring_k, ring_v, ring_k_scale,
+                ring_v_scale, ring_base, int4_packed)
         if (cfg.fused_decode and cfg.n_kv_heads == cfg.n_heads
                 and not int4_packed and not heads_packed
                 and not cfg.align_enabled
@@ -485,6 +498,151 @@ class Attention(nn.Module):
                 ring_k, ring_v, rks, rvs, align)
 
 
+    def _verify_packed(self, x, q, k, v, frozen_k, frozen_v, fk_scale,
+                       fv_scale, frozen_len, ring_k, ring_v, rks, rvs,
+                       ring_base, int4_packed):
+        """Multi-query decode over the packed-heads frozen cache — the
+        speculative-decode verify pass (and, at T == 1, the per-lane-indexed
+        draft step).
+
+        q/k/v: [B, T, H(kv), D] fresh block for the T fed tokens per lane.
+        Attention spans three segments jointly: the frozen prefix
+        (< frozen_len[b]), the committed ring prefix (< ring_base[b]), and a
+        causal self-block over the fed tokens.  The fed tokens' K/V is
+        written into the ring at per-lane offsets ring_base[b] + t; entries
+        past the engine's accepted prefix are simply overwritten by the next
+        speculation cycle (validity is ring_base, which only advances by the
+        accept count).  The T q-rows amortize the dominant frozen-KV read —
+        the whole point of speculative decode on this matvec-bound step
+        (docs/PERF.md).  Reuses the block-diagonal q / block-extract output
+        trick and the int8 x int8 QK of :meth:`_decode_packed`."""
+        cfg = self.cfg
+        d = cfg.head_dim
+        Hq, Hkv = cfg.n_heads, cfg.n_kv_heads
+        B, T = q.shape[0], q.shape[1]
+        kv_of = jnp.arange(Hq) // max(1, Hq // Hkv)
+        onehot = (kv_of[:, None] == jnp.arange(Hkv)[None, :])  # [Hq, Hkv]
+
+        kt = k.transpose(0, 2, 1, 3)                 # [B, Hkv, T, D]
+        vt = v.transpose(0, 2, 1, 3)
+        ring_quant = rks is not None
+        C = ring_k.shape[2]
+        cpos = jnp.arange(C)[None, :]                # [1, C]
+        in_win = (cpos >= ring_base[:, None]) & \
+            (cpos < ring_base[:, None] + T)          # [B, C]
+        # one-hot scatter of the T block entries to ring slots base + t
+        W = (cpos[:, :, None] ==
+             (ring_base[:, None, None] + jnp.arange(T)[None, None, :])
+             ).astype(jnp.float32)                   # [B, C, T]
+
+        def write_vals(ring, blk):                   # blk [B, H, T, D]
+            upd = jnp.einsum("bct,bhtd->bhcd", W, blk.astype(jnp.float32))
+            return jnp.where(in_win[:, None, :, None],
+                             upd.astype(ring.dtype), ring)
+
+        def write_scale(ring_s, s):                  # s [B, H, T]
+            upd = jnp.einsum("bct,bht->bhc", W, s.astype(jnp.float32))
+            return jnp.where(in_win[:, None, :],
+                             upd.astype(ring_s.dtype), ring_s)
+
+        if ring_quant:
+            ktq, kts = quantize_kv(kt)
+            vtq, vts = quantize_kv(vt)
+            new_ring_k = write_vals(ring_k, ktq)
+            new_ring_v = write_vals(ring_v, vtq)
+            new_rks = write_scale(rks, kts)
+            new_rvs = write_scale(rvs, vts)
+        else:
+            new_ring_k = write_vals(ring_k, kt)
+            new_ring_v = write_vals(ring_v, vt)
+            new_rks = new_rvs = None
+
+        # ---- scores: [B, T, Hq, {S | C | T}] ----
+        fkp, fvp = frozen_k, frozen_v
+        if int4_packed:
+            fkp, fvp = unpack_int4(fkp), unpack_int4(fvp)
+        S = fkp.shape[1]
+        if fk_scale is not None:
+            qf = q.astype(jnp.float32)               # [B, T, Hq, D]
+            qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) + 1e-9
+            q8 = jnp.clip(jnp.round(qf / qa * 127.0), -127,
+                          127).astype(jnp.int8)
+            qbd = (q8[:, :, :, None, :]
+                   * onehot.astype(jnp.int8)[None, None, :, :, None]
+                   ).reshape(B, T, Hq, Hkv * d)
+            s32 = jnp.einsum("bthD,bsD->bths", qbd, fkp,
+                             preferred_element_type=jnp.int32)
+            sf = (s32.astype(jnp.float32)
+                  * (qa / (127.0 * jnp.sqrt(jnp.float32(d))))
+                  * fk_scale[:, kv_of][:, None].astype(jnp.float32))
+        else:
+            qbd = (q[:, :, :, None, :]
+                   * onehot.astype(x.dtype)[None, None, :, :, None]
+                   ).reshape(B, T, Hq, Hkv * d)
+            sf = jnp.einsum("bthD,bsD->bths", qbd, fkp.astype(x.dtype),
+                            preferred_element_type=jnp.float32
+                            ) / jnp.sqrt(jnp.float32(d))
+
+        rk = self._repeat_kv(new_ring_k)
+        rv_ = self._repeat_kv(new_ring_v)
+        if ring_quant:
+            rk = rk.astype(x.dtype)
+            rv_ = rv_.astype(x.dtype)
+        sr = jnp.einsum("bthd,bhcd->bthc", q.astype(x.dtype), rk,
+                        preferred_element_type=jnp.float32
+                        ) / jnp.sqrt(jnp.float32(d))
+        if ring_quant:
+            sr = sr * self._repeat_kv(new_rks)[:, None].astype(jnp.float32)
+
+        kq_self = self._repeat_kv(kt)                # [B, Hq, T, D]
+        ss = jnp.einsum("bthd,bhud->bthu", q, kq_self,
+                        preferred_element_type=jnp.float32
+                        ) / jnp.sqrt(jnp.float32(d))
+
+        f_valid = (jnp.arange(S)[None, :] <
+                   frozen_len[:, None])[:, None, None, :]
+        r_valid = (cpos < ring_base[:, None])[:, None, None, :]
+        s_causal = (jnp.arange(T)[None, :] <=
+                    jnp.arange(T)[:, None])[None, :, None, :]
+        sf = jnp.where(f_valid, sf, -1e30)
+        sr = jnp.where(r_valid, sr, -1e30)
+        ss = jnp.where(s_causal, ss, -1e30)
+
+        m = jnp.maximum(jnp.maximum(
+            jnp.max(sf, axis=-1, keepdims=True),
+            jnp.max(sr, axis=-1, keepdims=True)),
+            jnp.max(ss, axis=-1, keepdims=True))
+        ef = jnp.exp(sf - m)
+        er = jnp.exp(sr - m)
+        es = jnp.exp(ss - m)
+        denom = (jnp.sum(ef, -1, keepdims=True)
+                 + jnp.sum(er, -1, keepdims=True)
+                 + jnp.sum(es, -1, keepdims=True))
+        pf = ef / denom
+        pr = (er / denom).astype(x.dtype)
+        ps = (es / denom).astype(x.dtype)
+        if fv_scale is not None:
+            pf = pf * fv_scale[:, kv_of][:, None].astype(jnp.float32)
+        if ring_quant:
+            pr = (pr.astype(jnp.float32)
+                  * self._repeat_kv(new_rvs)[:, None].astype(jnp.float32)
+                  ).astype(x.dtype)
+        pf = pf.astype(x.dtype)
+        of = jnp.einsum("bths,bsD->bthD", pf, fvp.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+        of = jnp.einsum("bthgd,hg->bthd", of.reshape(B, T, Hq, Hkv, d),
+                        onehot.astype(jnp.float32))
+        orr = jnp.einsum("bthc,bhcd->bthd", pr, rv_,
+                         preferred_element_type=jnp.float32)
+        vq_self = self._repeat_kv(vt)
+        os_ = jnp.einsum("bthu,bhud->bthd", ps, vq_self,
+                         preferred_element_type=jnp.float32)
+        out = (of + orr + os_).astype(x.dtype).reshape(B, T, Hq * d)
+        align = jnp.zeros((B, 0), jnp.float32)
+        return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
+                new_ring_k, new_ring_v, new_rks, new_rvs, align)
+
+
 class MLP(nn.Module):
     cfg: T3ModelConfig
 
@@ -500,12 +658,14 @@ class LlamaBlock(nn.Module):
     cfg: T3ModelConfig
 
     @nn.compact
-    def __call__(self, x, layer_kv, positions, valid_len, inv_freq, ring_idx):
+    def __call__(self, x, layer_kv, positions, valid_len, inv_freq, ring_idx,
+                 ring_base=None):
         """Scanned layer.  layer_kv is either (None-mode) a placeholder for
-        block mode or (frozen_k, frozen_v, ring_k, ring_v) for decode."""
+        block mode or (frozen_k, frozen_v, ring_k, ring_v) for decode /
+        verify (ring_base set selects the multi-query verify path)."""
         attn_in = RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x)
         attn = Attention(self.cfg, name="self_attn")
-        if ring_idx is None:
+        if ring_idx is None and ring_base is None:
             out, kc, vc = attn(attn_in, positions, valid_len, inv_freq)
             kv_out = (kc, vc)
         else:
@@ -515,7 +675,7 @@ class LlamaBlock(nn.Module):
                 frozen_k=fk, frozen_v=fv, frozen_len=valid_len,
                 ring_k=rk, ring_v=rv, ring_idx=ring_idx,
                 frozen_k_scale=fks, frozen_v_scale=fvs,
-                ring_k_scale=rks, ring_v_scale=rvs)
+                ring_k_scale=rks, ring_v_scale=rvs, ring_base=ring_base)
             kv_out = (nrk, nrv, nrks, nrvs, align)
         x = x + out
         x = x + MLP(self.cfg, name="mlp")(
@@ -534,7 +694,8 @@ class LlamaBackbone(nn.Module):
             LlamaBlock,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast, nn.broadcast),
             out_axes=0,
             length=self.cfg.n_layers,
         )
@@ -543,7 +704,7 @@ class LlamaBackbone(nn.Module):
     def __call__(self, embeds, positions, valid_len, *, mode="block",
                  frozen: Optional[KVCache] = None,
                  ring: Optional[KVCache] = None,
-                 ring_idx=None):
+                 ring_idx=None, ring_base=None):
         cfg = self.cfg
         inv_freq = llama3_rope_frequencies(cfg)
         scan = self._scan()
@@ -551,13 +712,21 @@ class LlamaBackbone(nn.Module):
         if mode == "block":
             dummy = jnp.zeros((cfg.n_layers, 0), embeds.dtype)
             x, (ks, vs) = scan(cfg, name="layers")(
-                embeds, dummy, positions, valid_len, inv_freq, None)
+                embeds, dummy, positions, valid_len, inv_freq, None, None)
             x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
             return x, KVCache(k=ks, v=vs)
+
+        if mode == "verify":
+            x, (nrk, nrv, nrks, nrvs, _) = scan(cfg, name="layers")(
+                embeds, (frozen.k, frozen.v, frozen.k_scale, frozen.v_scale,
+                         ring.k, ring.v, ring.k_scale, ring.v_scale),
+                positions, valid_len, inv_freq, None, ring_base)
+            x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
+            return x, KVCache(k=nrk, v=nrv, k_scale=nrks, v_scale=nrvs)
 
         x, (nrk, nrv, nrks, nrvs, align) = scan(cfg, name="layers")(
             embeds, (frozen.k, frozen.v, frozen.k_scale, frozen.v_scale,
                      ring.k, ring.v, ring.k_scale, ring.v_scale),
-            positions, valid_len, inv_freq, ring_idx)
+            positions, valid_len, inv_freq, ring_idx, None)
         x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
         return x, KVCache(k=nrk, v=nrv, k_scale=nrks, v_scale=nrvs), align

@@ -85,6 +85,19 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _slice_layer_stack(params, k: int):
+    """Draft params for the layer-skip self-draft: the full tree with the
+    scanned trunk stack sliced to its first k layers (embeddings, final
+    norm and speech head are shared with the trunk)."""
+    p = dict(params)
+    inner = dict(p["params"])
+    bb = dict(inner["backbone"])
+    bb["layers"] = jax.tree.map(lambda x: x[:k], bb["layers"])
+    inner["backbone"] = bb
+    p["params"] = inner
+    return p
+
+
 class T3Engine:
     """Slot-based continuous batching over the T3 model."""
 
@@ -142,6 +155,31 @@ class T3Engine:
             static_argnames=("n_steps", "s_active", "needs_top_p"),
             donate_argnames=("st",))
         self._merge = jax.jit(self._merge_impl, donate_argnames=("frozen",))
+
+        if eng.spec_decode:
+            # Speculative multi-token decode (docs/PERF.md): layer-skip
+            # self-draft (first spec_draft_layers of the trunk + the shared
+            # norm/speech head, reusing the trunk's layer-0..k-1 KV) proposes
+            # spec_tokens tokens; one multi-query verify pass commits the
+            # matched prefix.  The committed stream is always the verify
+            # sampler's — the draft only affects throughput.
+            kd = eng.spec_draft_layers
+            if not (1 <= kd <= cfg.n_layers):
+                raise ValueError(f"spec_draft_layers must be in [1, "
+                                 f"{cfg.n_layers}], got {kd}")
+            if self._align:
+                raise ValueError("spec_decode is incompatible with "
+                                 "align_stop (the verify pass does not "
+                                 "expose per-step alignment probabilities)")
+            if mesh is not None:
+                raise ValueError("spec_decode + sharded serving not "
+                                 "supported yet")
+            self.draft_model = T3Model(dataclasses.replace(cfg, n_layers=kd))
+            self.draft_params = _slice_layer_stack(self.params, kd)
+            self._spec_chunk = jax.jit(
+                self._spec_chunk_impl,
+                static_argnames=("n_cycles", "s_active", "needs_top_p"),
+                donate_argnames=("st",))
 
         self.reset()
 
@@ -292,11 +330,19 @@ class T3Engine:
         step = max(96, -(-self.S // 6))
         buckets = sorted({self._s_bucket(p)
                           for p in range(step, self.S + step, step)})
+        eng = self.eng
         for s_active in buckets:
-            ring, g0, self.state = self._decode_chunk(
-                self.params, self.cache, self.state,
-                n_steps=self.eng.decode_chunk, s_active=s_active,
-                needs_top_p=needs_top_p)
+            if eng.spec_decode:
+                n_cycles = max(1, eng.decode_chunk // (eng.spec_tokens + 1))
+                ring, g0, self.state = self._spec_chunk(
+                    self.params, self.draft_params, self.cache, self.state,
+                    n_cycles=n_cycles, s_active=s_active,
+                    needs_top_p=needs_top_p)
+            else:
+                ring, g0, self.state = self._decode_chunk(
+                    self.params, self.cache, self.state,
+                    n_steps=eng.decode_chunk, s_active=s_active,
+                    needs_top_p=needs_top_p)
             self.cache = self._merge(self.cache, ring, g0,
                                      self.state.global_pos - g0)
         self.reset()
@@ -315,6 +361,9 @@ class T3Engine:
         Returns the number of steps advanced."""
         eng = self.eng
         k = max(1, eng.chunks_per_dispatch)
+        if eng.spec_decode:
+            return sum(self._dispatch_spec(sched, needs_top_p)
+                       for _ in range(k))
         for _ in range(k):
             s_active = self._s_bucket(max(sched.advance(eng.decode_chunk), 1))
             ring, g0, self.state = self._decode_chunk(
@@ -421,6 +470,141 @@ class T3Engine:
 
         (ring, st), _ = jax.lax.scan(step, (ring, st), jnp.arange(n_steps))
         return ring, g0, st
+
+    # ------------------------------------------------------------------
+    # Speculative multi-token decode (docs/PERF.md "Speculative multi-token
+    # decode"; VERDICT r2 item 4)
+    # ------------------------------------------------------------------
+    def _spec_chunk_impl(self, params, draft_params, frozen: KVCache,
+                         st: SlotState, *, n_cycles: int, s_active: int,
+                         needs_top_p: bool = True):
+        """n_cycles speculation cycles in one jit.  Per cycle:
+
+        1. **draft**: the truncated-depth model (first spec_draft_layers of
+           the trunk + shared norm/head, reading the SAME frozen/ring cache
+           sliced to its layers) greedily proposes M = spec_tokens tokens,
+           one per step, writing its layer-0..k-1 K/V into a scratch copy of
+           the ring slice (discarded — the verify pass recomputes it).
+        2. **verify**: ONE multi-query pass of the full trunk over the M+1
+           fed tokens [last_committed, d_1..d_M] — M+1 q-rows amortize the
+           dominant frozen-KV read — writing full-depth K/V into the ring at
+           per-lane offsets.
+        3. **commit**: sample the verify logits sequentially with the real
+           sampler (rep-penalty seen-mask updates masked by commit, so state
+           is exactly the plain path's for the committed prefix); commit
+           verify samples while they match the draft, stop at the first
+           mismatch / EOS / cap.  Up to M+1 tokens commit per cycle; the
+           committed stream IS the verify sampler's stream, so greedy
+           decoding is bit-identical to the plain path for ANY draft depth
+           (test_spec_decode.py), and at temperature > 0 it stays exactly
+           the model's distribution (only the realized rng stream differs:
+           M+1 draws per cycle).
+
+        Ring entries past each lane's accept count are overwritten by the
+        next cycle; ring validity (= ring_base) only ever covers committed
+        tokens, so the merge (n_new = global_pos - g0) is unchanged."""
+        cfg, eng = self.cfg, self.eng
+        B = st.tokens.shape[0]
+        M = eng.spec_tokens
+        max_out = st.out_buf.shape[1]
+        g0 = st.global_pos
+        Cring = n_cycles * (M + 1)
+        ring = KVCache.zeros(cfg, 2 * B, Cring, self._ring_dtype)
+        fro = KVCache(
+            k=frozen.k[:, :, :s_active],
+            v=frozen.v[:, :, :s_active],
+            k_scale=None if frozen.k_scale is None
+            else frozen.k_scale[:, :, :, :s_active],
+            v_scale=None if frozen.v_scale is None
+            else frozen.v_scale[:, :, :, :s_active])
+        kd = eng.spec_draft_layers
+        fro_d = KVCache(
+            k=fro.k[:kd], v=fro.v[:kd],
+            k_scale=None if fro.k_scale is None else fro.k_scale[:kd],
+            v_scale=None if fro.v_scale is None else fro.v_scale[:kd])
+        eos = cfg.stop_speech_token
+        aridx = jnp.arange(B)
+
+        def cycle(carry, _):
+            ring, rv, st = carry
+            # --- draft M tokens (greedy, truncated depth) ---
+            ring_d = KVCache(
+                k=ring.k[:kd], v=ring.v[:kd],
+                k_scale=None if ring.k_scale is None else ring.k_scale[:kd],
+                v_scale=None if ring.v_scale is None else ring.v_scale[:kd])
+            tok = st.tokens
+            drafts = []
+            for m in range(M):
+                def dapply(model, tok=tok, m=m, ring_d=ring_d):
+                    return model.verify_step(
+                        tok[:, None], st.n_generated + m, st.global_pos + m,
+                        fro_d, g0, ring_d, rv + m, st.cfg_scale)
+                dlogits, ring_d = nn_apply(self.draft_model, draft_params,
+                                           dapply)
+                dlogits = jnp.where(self._allow_mask[None, :],
+                                    dlogits[:, 0], -jnp.inf)
+                tok = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+                drafts.append(tok)
+            fed = jnp.stack([st.tokens] + drafts, axis=1)      # [B, M+1]
+
+            # --- verify: one multi-query full-trunk pass ---
+            def vapply(model):
+                return model.verify_step(fed, st.n_generated, st.global_pos,
+                                         fro, g0, ring, rv, st.cfg_scale)
+            vlogits, new_ring = nn_apply(self.model, params, vapply)
+            vlogits = jnp.where(self._allow_mask[None, None, :], vlogits,
+                                -jnp.inf)
+
+            # --- sequential sample + accept-prefix commit ---
+            live = st.active & ~st.done
+            commit = live
+            seen, rng = st.sampler.seen, st.sampler.rng
+            tokens_new, done_run = st.tokens, st.done
+            n_run, gp, rv_new = st.n_generated, st.global_pos, rv
+            out_buf = st.out_buf
+            for j in range(M + 1):
+                s_j, sst = sample_step(vlogits[:, j], st.params,
+                                       SamplerState(seen, rng),
+                                       needs_top_p=needs_top_p)
+                rng = sst.rng
+                seen = jnp.where(commit[:, None], sst.seen, seen)
+                idx = jnp.clip(n_run, 0, max_out - 1)
+                out_buf = out_buf.at[aridx, idx].set(
+                    jnp.where(commit, s_j, out_buf[aridx, idx]))
+                tokens_new = jnp.where(commit, s_j, tokens_new)
+                n_run = jnp.where(commit, n_run + 1, n_run)
+                gp = jnp.where(commit,
+                               jnp.minimum(gp + 1, self.S - 1), gp)
+                rv_new = jnp.where(commit, rv_new + 1, rv_new)
+                done_run = done_run | (commit & ((s_j == eos)
+                                                 | (n_run >= st.max_new)))
+                if j < M:
+                    commit = commit & (drafts[j] == s_j) & ~done_run
+            new_st = st._replace(
+                tokens=tokens_new, n_generated=n_run, global_pos=gp,
+                done=done_run, out_buf=out_buf,
+                sampler=SamplerState(seen=seen, rng=rng))
+            return (new_ring, rv_new, new_st), None
+
+        (ring, _, st), _ = jax.lax.scan(
+            cycle, (ring, jnp.zeros((B,), jnp.int32), st), None,
+            length=n_cycles)
+        return ring, g0, st
+
+    def _dispatch_spec(self, sched, needs_top_p: bool) -> int:
+        """Spec-mode replacement for one (decode chunk + merge) dispatch:
+        cycles sized so the worst-case commit volume fills decode_chunk."""
+        eng = self.eng
+        M = eng.spec_tokens
+        n_cycles = max(1, eng.decode_chunk // (M + 1))
+        steps_ub = n_cycles * (M + 1)
+        s_active = self._s_bucket(max(sched.advance(steps_ub), 1))
+        ring, g0, self.state = self._spec_chunk(
+            self.params, self.draft_params, self.cache, self.state,
+            n_cycles=n_cycles, s_active=s_active, needs_top_p=needs_top_p)
+        self.cache = self._merge(self.cache, ring, g0,
+                                 self.state.global_pos - g0)
+        return steps_ub
 
     # ------------------------------------------------------------------
     # Tail batch compaction
@@ -843,7 +1027,12 @@ class T3Engine:
         tlen = np.zeros((m_bucket,), np.int32)
         cond = np.zeros((m_bucket, self.cfg.cond_len, self.cfg.hidden_size), np.float32)
         for j in range(m_bucket):
-            r = reqs[min(j, m - 1)]
+            # padding rows MUST repeat request 0: they share slot_ids[0], and
+            # duplicate scatter writes are only order-independent when their
+            # payloads are bit-identical (reqs[min(j, m-1)] here once padded
+            # with the LAST request, silently overwriting slot 0's prompt
+            # with another request's on every partial wave with m >= 2)
+            r = reqs[j] if j < m else reqs[0]
             L = min(len(r.text_ids), text_bucket)
             text[j, :L] = r.text_ids[:L]
             tlen[j] = L

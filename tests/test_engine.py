@@ -313,3 +313,38 @@ def test_compact_tail_small_batch_reusable(setup):
     assert len(r1) == len(r2) == 2
     for x, y in zip(r1, r2):
         np.testing.assert_array_equal(x.tokens, y.tokens)
+
+
+def test_partial_wave_admission_preserves_each_request(setup):
+    """Regression: a padded admission wave (m=2 into m_bucket=4) duplicates
+    slot ids for the padding rows; the padding payload must repeat request 0
+    bit-identically.  The old code padded with the LAST request of the wave,
+    so the duplicate scatter overwrote request 0's slot with request 1's
+    prompt/text_len on every partial wave — greedy streams for the wave's
+    first request were silently another request's."""
+    cfg, model, params, eng = setup
+    rng = jax.random.PRNGKey(31)
+    r0 = mk_req(cfg, jax.random.fold_in(rng, 0), n_text=5, max_new=7,
+                temperature=0.0, uid=0)
+    r1 = mk_req(cfg, jax.random.fold_in(rng, 1), n_text=8, max_new=7,
+                temperature=0.0, uid=1)
+
+    # ground truth: each request admitted alone (m_bucket=1, no padding)
+    solo = []
+    for r in (r0, r1):
+        e = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(11))
+        solo.append(e.generate([r])[0].tokens)
+
+    # one partial wave of both (B=4 -> m=2 pads to bucket 4)
+    e = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(11))
+    e._ttft = {}
+    e._admit([r0, r1], [2, 1])
+    st = e.state
+    assert int(st.text_len[2]) == 5, "slot 2 must hold request 0's text"
+    assert int(st.text_len[1]) == 8, "slot 1 must hold request 1's text"
+
+    both = [r.tokens for r in
+            T3Engine(model, params, cfg, eng,
+                     rng=jax.random.PRNGKey(11)).generate([r0, r1])]
+    np.testing.assert_array_equal(both[0], solo[0], err_msg="request 0")
+    np.testing.assert_array_equal(both[1], solo[1], err_msg="request 1")

@@ -1,0 +1,134 @@
+"""Speculative multi-token decode: greedy equality with the plain path.
+
+The commit rule makes the committed stream the *verify* sampler's stream
+(draft quality only affects throughput), so greedy decoding must reproduce
+the plain engine bit-for-bit at ANY draft depth — full-depth (alpha = 1,
+every cycle commits M+1 tokens) and truncated (mismatches fall back to the
+verify sample).  VERDICT r2 item 4.
+"""
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from chatterbox_tpu.config import EngineConfig, T3ModelConfig
+from chatterbox_tpu.models.t3.model import T3Model
+from chatterbox_tpu.runtime.engine import Request, T3Engine
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = T3ModelConfig.tiny()
+    model = T3Model(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, Tt = 2, 8
+    spk = jax.random.normal(rng, (B, cfg.speaker_embed_size))
+    ptoks = jax.random.randint(rng, (B, 6), 0, cfg.start_speech_token)
+    emo = 0.5 * jnp.ones((B, 1))
+    text = jax.random.randint(rng, (B, Tt), 0, cfg.text_vocab_size)
+    tlen = jnp.array([5, 8], jnp.int32)
+    params = jax.jit(lambda r: model.init(
+        r, spk, ptoks, emo, text, tlen,
+        method=lambda m, *a: m.init_all(*a)))(rng)
+    eng = EngineConfig(max_batch_size=4, max_model_len=96, decode_chunk=4,
+                       prefill_buckets=(8, 16), tokens_max=16,
+                       kv_dtype="float32")
+    return cfg, model, params, eng
+
+
+def mk_req(cfg, rng, n_text, max_new=8, **kw):
+    text = np.asarray(jax.random.randint(rng, (n_text,), 0,
+                                         cfg.text_vocab_size))
+    cond = np.asarray(jax.random.normal(rng, (cfg.cond_len, cfg.hidden_size)))
+    return Request(text_ids=text.astype(np.int32), cond_emb=cond,
+                   max_new_tokens=max_new, **kw)
+
+
+def _greedy_reqs(cfg, n, seed=3):
+    rngs = jax.random.split(jax.random.PRNGKey(seed), n)
+    return [mk_req(cfg, rngs[i], n_text=4 + (i % 5), max_new=5 + (i % 7),
+                   temperature=0.0, uid=i) for i in range(n)]
+
+
+def _run(model, params, cfg, eng, reqs, seed=11):
+    engine = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(seed))
+    return [r.tokens for r in engine.generate(reqs)]
+
+
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+def test_spec_full_depth_greedy_equals_plain(setup, kv_dtype):  # noqa: F811
+    """alpha = 1: a full-depth self-draft always matches the verify argmax,
+    so every cycle commits M+1 tokens and the stream is bit-identical."""
+    cfg, model, params, eng = setup
+    eng = dataclasses.replace(eng, kv_dtype=kv_dtype)
+    reqs = _greedy_reqs(cfg, 6)
+    plain = _run(model, params, cfg, eng, reqs)
+    spec = _run(model, params, cfg,
+                dataclasses.replace(eng, spec_decode=True,
+                                    spec_draft_layers=cfg.n_layers,
+                                    spec_tokens=2),
+                reqs)
+    for i, (a, b) in enumerate(zip(plain, spec)):
+        np.testing.assert_array_equal(a, b, err_msg=f"request {i}")
+
+
+def test_spec_truncated_draft_greedy_equals_plain(setup):  # noqa: F811
+    """Truncated draft (k=1 of 2 layers): drafts mostly mismatch, but every
+    committed token is still the verify sampler's greedy choice — stream
+    identical, just fewer tokens per cycle."""
+    cfg, model, params, eng = setup
+    reqs = _greedy_reqs(cfg, 6, seed=4)
+    plain = _run(model, params, cfg, eng, reqs)
+    spec = _run(model, params, cfg,
+                dataclasses.replace(eng, spec_decode=True,
+                                    spec_draft_layers=1, spec_tokens=3),
+                reqs)
+    for i, (a, b) in enumerate(zip(plain, spec)):
+        np.testing.assert_array_equal(a, b, err_msg=f"request {i}")
+
+
+def test_spec_slot_churn_greedy_equals_plain(setup):  # noqa: F811
+    """More requests than slots with varied caps: slot recycling under spec
+    commits must stay consistent with the plain path."""
+    cfg, model, params, eng = setup
+    reqs = _greedy_reqs(cfg, 10, seed=6)
+    plain = _run(model, params, cfg, eng, reqs)
+    spec = _run(model, params, cfg,
+                dataclasses.replace(eng, spec_decode=True,
+                                    spec_draft_layers=cfg.n_layers,
+                                    spec_tokens=2),
+                reqs)
+    for i, (a, b) in enumerate(zip(plain, spec)):
+        np.testing.assert_array_equal(a, b, err_msg=f"request {i}")
+
+
+def test_spec_sampled_valid_streams(setup):  # noqa: F811
+    """temperature > 0: streams differ from plain (rng cadence) but must be
+    valid ids, within caps, and deterministic given the engine seed."""
+    cfg, model, params, eng = setup
+    rngs = jax.random.split(jax.random.PRNGKey(8), 5)
+    reqs = [mk_req(cfg, rngs[i], n_text=5, max_new=6 + i, temperature=0.8,
+                   top_p=0.8, uid=i) for i in range(5)]
+    eng_s = dataclasses.replace(eng, spec_decode=True, spec_draft_layers=1,
+                                spec_tokens=2)
+    out1 = _run(model, params, cfg, eng_s, reqs, seed=21)
+    out2 = _run(model, params, cfg, eng_s, reqs, seed=21)
+    for i, (a, b) in enumerate(zip(out1, out2)):
+        np.testing.assert_array_equal(a, b, err_msg=f"request {i}")
+        assert 1 <= len(a) <= reqs[i].max_new_tokens
+        valid = (a < cfg.start_speech_token) | (a == cfg.stop_speech_token)
+        assert valid.all()
+
+
+def test_spec_rejects_align_stop():
+    cfg = dataclasses.replace(T3ModelConfig.tiny(), align_enabled=True)
+    model = T3Model(cfg)
+    eng = EngineConfig(max_batch_size=2, max_model_len=96, decode_chunk=4,
+                       prefill_buckets=(8, 16), tokens_max=16,
+                       kv_dtype="float32", align_stop=True, spec_decode=True,
+                       spec_draft_layers=cfg.n_layers)
+    with pytest.raises(ValueError, match="align_stop"):
+        T3Engine(model, {"params": {}}, cfg, eng)

@@ -103,6 +103,7 @@ def ubench_dense():
 
 
 def engine_run(quant_act: bool, compact: bool, interleave: bool = False,
+               cpd: int = 1, pipelined: bool = False,
                B=48, S=576, chunk=32):
     from chatterbox_tpu.config import EngineConfig, T3ModelConfig
     from chatterbox_tpu.models.t3.model import T3Model
@@ -116,7 +117,11 @@ def engine_run(quant_act: bool, compact: bool, interleave: bool = False,
                               quant_act=quant_act)
     eng = EngineConfig(max_batch_size=B, max_model_len=S, decode_chunk=chunk,
                        kv_dtype="int8", compact_tail=compact,
-                       admit_interleave=interleave)
+                       admit_interleave=interleave,
+                       chunks_per_dispatch=cpd, pipelined_harvest=pipelined)
+    log(f"engine_run a8={int(quant_act)} compact={int(compact)} "
+        f"il={int(interleave)} cpd={cpd} pipe={int(pipelined)}: "
+        f"rtt={probe_rtt():.1f}ms init...")
     base_model = T3Model(base_cfg)
     model = T3Model(cfg)
     params = jax.jit(lambda r: base_model.init(
@@ -129,6 +134,7 @@ def engine_run(quant_act: bool, compact: bool, interleave: bool = False,
         lambda x: jnp.asarray(x).astype(jnp.bfloat16)
         if jnp.asarray(x).dtype == jnp.float32 else jnp.asarray(x), params)
     jax.block_until_ready(params)
+    log("  params ready")
     engine = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(1))
 
     reqs = []
@@ -140,11 +146,13 @@ def engine_run(quant_act: bool, compact: bool, interleave: bool = False,
                             max_new_tokens=400, temperature=0.8,
                             top_p=0.8, uid=i))
     engine.precompile()
+    log("  precompiled")
     warm = [Request(text_ids=reqs[i].text_ids, cond_emb=reqs[i].cond_emb,
                     max_new_tokens=40, uid=i) for i in range(B)]
     for n in (1, 4, len(warm)):
         engine.generate(warm[:n])
         engine.reset()
+    log("  warm")
     t0 = time.time()
     results = engine.generate(reqs)
     dt = time.time() - t0
@@ -152,8 +160,10 @@ def engine_run(quant_act: bool, compact: bool, interleave: bool = False,
     ttfts = sorted(r.ttft_s for r in results)
     tok_s = tot / dt
     log(f"engine a8={int(quant_act)} compact={int(compact)} "
-        f"il={int(interleave)}: {tot} tok in {dt:.2f}s -> {tok_s:.1f} tok/s; "
-        f"TTFT p50 {ttfts[len(ttfts)//2]:.2f}s")
+        f"il={int(interleave)} cpd={cpd} pipe={int(pipelined)}: "
+        f"{tot} tok in {dt:.2f}s -> {tok_s:.1f} tok/s; "
+        f"TTFT p50 {ttfts[len(ttfts)//2]:.2f}s "
+        f"p95 {ttfts[int(len(ttfts)*0.95)]:.2f}s")
     del engine, params, model, base_model
     gc.collect()
     return tok_s
@@ -165,16 +175,25 @@ def main():
     log(f"sync RTT: {probe_rtt():.1f} ms")
     if not quick:
         ubench_dense()
-    # A/B/A: baseline bracket around the candidates, same window
+    # Every run logs its own RTT probe, so each score can be interpreted
+    # against the tunnel window it ran in (docs/PERF.md "Tunnel RTT
+    # variability").  Arms: round-2 knobs (w8a8/compact/interleave) plus the
+    # round-3 RTT-resilience candidates (chunks_per_dispatch, pipelined
+    # harvest), A/B/A-bracketed by baselines.
     base1 = engine_run(False, False)
     a8 = engine_run(True, False)
     comp = engine_run(False, True)
     both = engine_run(True, True)
     il = engine_run(False, False, interleave=True)
     base2 = engine_run(False, False)
+    cpd2 = engine_run(False, False, cpd=2)
+    cpd4 = engine_run(False, False, cpd=4)
+    pipe = engine_run(False, False, pipelined=True)
+    base3 = engine_run(False, False)
     log(f"sync RTT end: {probe_rtt():.1f} ms")
-    log(f"SUMMARY base={base1:.0f}/{base2:.0f} a8={a8:.0f} compact={comp:.0f} "
-        f"both={both:.0f} interleave={il:.0f}")
+    log(f"SUMMARY base={base1:.0f}/{base2:.0f}/{base3:.0f} a8={a8:.0f} "
+        f"compact={comp:.0f} both={both:.0f} interleave={il:.0f} "
+        f"cpd2={cpd2:.0f} cpd4={cpd4:.0f} pipe={pipe:.0f}")
 
 
 if __name__ == "__main__":
