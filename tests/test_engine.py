@@ -230,9 +230,12 @@ def test_generate_pipelined_multiwave_slot_recycling(setup):
     assert len(set(strings)) == len(strings), "cross-request token contamination"
 
 
-def test_admit_interleave_matches_drained(setup):
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_admit_interleave_matches_drained(setup, pipelined):
     """admit_interleave=True (one prefill wave per decode chunk) returns the
-    same greedy tokens as the default drain-all-waves admission.
+    same greedy tokens as the default drain-all-waves admission — on BOTH
+    harvest paths (the pipelined loop has its own interleave break and
+    one-chunk-delayed slot recycling, ADVICE r2).
 
     Lanes decode independently, so admission timing cannot change a lane's
     stream; uniform text lengths keep every prefill wave in one padded
@@ -244,7 +247,7 @@ def test_admit_interleave_matches_drained(setup):
     reqs = [mk_req(cfg, jax.random.fold_in(rng, i), 6,
                    max_new=4 + (i % 3) * 3, temperature=0.0, uid=i)
             for i in range(6)]
-    small = dc.replace(eng, max_batch_size=2)
+    small = dc.replace(eng, max_batch_size=2, pipelined_harvest=pipelined)
     a = T3Engine(model, params, cfg, small, rng=jax.random.PRNGKey(5))
     b = T3Engine(model, params, cfg,
                  dc.replace(small, admit_interleave=True),

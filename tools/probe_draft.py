@@ -121,7 +121,9 @@ def main():
         tok = tts.tokenizer
         conds = tts.default_conds
         cond_emb = np.asarray(conds.cond_emb, np.float32)
-        params = tts.engine.params          # quantized; fine for trajectories
+        # from_local does not quantize (quant_weights defaults off), but
+        # the teacher-forced pass wants a float tree either way; re-convert
+        # below if the attr is absent
         fparams = tts._t3_params_float if hasattr(tts, "_t3_params_float") \
             else None
         engine = tts.engine
@@ -190,8 +192,15 @@ def main():
           f"{selfagree:.3f} (quantized-engine vs float-trunk drift)",
           file=sys.stderr)
 
-    print(f"{'k':>4} {'accept':>8} " +
-          " ".join(f"M={m:<2}" for m in (1, 2, 3, 4)), file=sys.stderr)
+    if ckpt:
+        print(f"{'k':>4} {'accept':>8} " +
+              " ".join(f"M={m:<2}" for m in (1, 2, 3, 4)), file=sys.stderr)
+    else:
+        # random-weights run: acceptance is meaningless, and the projected
+        # speedup columns were misreadable as real (ADVICE r2) — print the
+        # acceptance only, clearly labeled mechanics-check
+        print(f"{'k':>4} {'accept':>8}  (mechanics check — projections "
+              "suppressed without a checkpoint)", file=sys.stderr)
     for k in DEPTHS:
         dmodel = T3Model(dataclasses.replace(cfg, n_layers=k))
         dparams = truncate_params(fparams, k)
@@ -199,14 +208,17 @@ def main():
                  for t, s in trajs]
         acc = float(np.mean([np.mean(d == f)
                              for d, f in zip(draft, full)]))
+        if not ckpt:
+            print(f"{k:>4} {acc:>8.3f}", file=sys.stderr)
+            continue
         # projected speedup: E[tokens/cycle] / cycle cost in full-step units
         # (PERF.md cost model at s_active=384: step = 5.3 fixed + 2.65 attn;
-        # draft step = (k/30)·step; verify(M+1 rows) ≈ 1 step)
+        # draft step = (k/n_layers)·step; verify(M+1 rows) ≈ 1 step)
         step = 5.3 + 2.65
         proj = []
         for M in (1, 2, 3, 4):
             e_tok = (1 - acc ** (M + 1)) / (1 - acc) if acc < 1 else M + 1
-            cost = (M * (k / 30.0) * step + step) / step
+            cost = (M * (k / float(cfg.n_layers)) * step + step) / step
             proj.append(e_tok / cost)
         print(f"{k:>4} {acc:>8.3f} " +
               " ".join(f"{p:5.2f}" for p in proj), file=sys.stderr)
