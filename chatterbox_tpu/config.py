@@ -195,6 +195,11 @@ class EngineConfig:
     # (docs/PERF.md round-2 notes)
     pipelined_harvest: bool = False  # async one-chunk-late harvest (see
     # T3Engine.generate; wins when host<->device sync RTT is high)
+    rtt_adaptive: bool = False      # probe the host<->device sync RTT at
+    # engine construction and apply runtime.engine.rtt_policy overrides
+    # (e.g. chunks_per_dispatch=2 on a degraded >=20 ms link) — makes the
+    # recorded score resilient to the tunnel's RTT lottery (VERDICT r2
+    # item 2) instead of hostage to it
     compact_tail: bool = False      # once the queue is empty, halve the
     # live batch by gathering survivors into a compacted cache/state and
     # decode at the smaller batch (per-step cost scales with lanes); greedy

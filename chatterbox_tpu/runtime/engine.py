@@ -85,6 +85,52 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def probe_sync_rtt(n: int = 8) -> float:
+    """Median host<->device sync round trip in ms (tiny jitted add + fetch).
+    The tunneled chip drifts 6-35+ ms over hours (docs/PERF.md)."""
+    import time
+    x = jnp.ones((8,), jnp.float32)
+    f = jax.jit(lambda a: a + 1)
+    np.asarray(f(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        np.asarray(f(x))
+        ts.append(time.time() - t0)
+    return sorted(ts)[n // 2] * 1e3
+
+
+def rtt_policy(rtt_ms: float) -> dict:
+    """EngineConfig overrides for a measured sync RTT (pure; unit-tested).
+
+    Healthy link (< 20 ms): shipped defaults — the chunk loop is ~97%
+    device-bound at k=1 (docs/PERF.md dispatch-batching table) and both
+    pipelining and k>1 measured slower.  Degraded link (>= 20 ms): the
+    per-chunk harvest sync + admission stalls dominate (identical code:
+    2786-3396 tok/s healthy vs 1530-1592 degraded), so halve the sync
+    frequency with chunks_per_dispatch=2 — measured only ~5% slower in a
+    healthy window (3217 vs 3373), so the asymmetric bet is favorable even
+    before the degraded-window A/B lands.  Thresholds/choices are to be
+    re-fit from tools/ab_round2.py's per-run RTT-probe logs."""
+    if rtt_ms >= 20.0:
+        return {"chunks_per_dispatch": 2}
+    return {}
+
+
+def apply_rtt_policy(eng: EngineConfig, prober=None):
+    """Return (EngineConfig with policy overrides applied, measured rtt_ms).
+    No-op unless ``eng.rtt_adaptive``; ``prober`` is injectable for tests
+    (None -> module-level probe_sync_rtt, resolved at call time so tests
+    can monkeypatch it)."""
+    if not getattr(eng, "rtt_adaptive", False):
+        return eng, None
+    rtt = (prober or probe_sync_rtt)()
+    over = rtt_policy(rtt)
+    if over:
+        eng = dataclasses.replace(eng, **over)
+    return eng, rtt
+
+
 def _slice_layer_stack(params, k: int):
     """Draft params for the layer-skip self-draft: the full tree with the
     scanned trunk stack sliced to its first k layers (embeddings, final
@@ -110,6 +156,7 @@ class T3Engine:
         (parallel/sharding.py)."""
         self.model = model
         self.cfg = cfg
+        eng, self.rtt_ms = apply_rtt_policy(eng)
         self.eng = eng
         self.mesh = mesh
         if mesh is not None:

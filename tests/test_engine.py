@@ -351,3 +351,40 @@ def test_partial_wave_admission_preserves_each_request(setup):
                      rng=jax.random.PRNGKey(11)).generate([r0, r1])]
     np.testing.assert_array_equal(both[0], solo[0], err_msg="request 0")
     np.testing.assert_array_equal(both[1], solo[1], err_msg="request 1")
+
+
+def test_rtt_policy_selection():
+    """Pure policy mapping (docs/PERF.md thresholds)."""
+    from chatterbox_tpu.runtime.engine import rtt_policy
+    assert rtt_policy(6.0) == {}
+    assert rtt_policy(19.9) == {}
+    assert rtt_policy(20.0) == {"chunks_per_dispatch": 2}
+    assert rtt_policy(35.0) == {"chunks_per_dispatch": 2}
+
+
+def test_rtt_adaptive_engine_construction(setup):
+    """rtt_adaptive=True probes at construction (prober injectable) and
+    applies the policy override; greedy streams stay bit-identical (the
+    k>1 dispatch is the same jits, only the sync cadence changes)."""
+    import dataclasses as dc
+    from chatterbox_tpu.runtime import engine as eng_mod
+    cfg, model, params, eng = setup
+
+    orig = eng_mod.probe_sync_rtt
+    eng_mod.probe_sync_rtt = lambda n=8: 33.0
+    try:
+        e = T3Engine(model, params, cfg,
+                     dc.replace(eng, rtt_adaptive=True),
+                     rng=jax.random.PRNGKey(5))
+    finally:
+        eng_mod.probe_sync_rtt = orig
+    assert e.rtt_ms == 33.0
+    assert e.eng.chunks_per_dispatch == 2
+
+    reqs = [mk_req(cfg, jax.random.fold_in(jax.random.PRNGKey(41), i), 5,
+                   max_new=6 + i, temperature=0.0, uid=i) for i in range(3)]
+    base = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(5))
+    ra = base.generate(reqs)
+    rb = e.generate(reqs)
+    for x, y in zip(ra, rb):
+        np.testing.assert_array_equal(x.tokens, y.tokens)
