@@ -132,3 +132,37 @@ def test_spec_rejects_align_stop():
                        spec_draft_layers=cfg.n_layers)
     with pytest.raises(ValueError, match="align_stop"):
         T3Engine(model, {"params": {}}, cfg, eng)
+
+
+def test_spec_int4_kv_valid_streams(setup):
+    """int4 nibble-packed frozen cache through the verify path (unpack in
+    _verify_packed): greedy spec streams must match the plain int4 engine
+    bit-for-bit (same quantized cache, same verify-sampled commits)."""
+    cfg, model, params, eng = setup
+    eng4 = dataclasses.replace(eng, kv_dtype="int4")
+    reqs = _greedy_reqs(cfg, 4, seed=9)
+    plain = _run(model, params, cfg, eng4, reqs)
+    spec = _run(model, params, cfg,
+                dataclasses.replace(eng4, spec_decode=True,
+                                    spec_draft_layers=cfg.n_layers,
+                                    spec_tokens=2),
+                reqs)
+    for i, (a, b) in enumerate(zip(plain, spec)):
+        np.testing.assert_array_equal(a, b, err_msg=f"request {i}")
+
+
+def test_spec_with_compact_tail(setup):
+    """spec_decode + compact_tail: the tail drain falls back to plain
+    chunks on the compacted batch; greedy streams must still equal the
+    plain+compact engine's."""
+    cfg, model, params, eng = setup
+    engc = dataclasses.replace(eng, compact_tail=True, compact_min=2)
+    reqs = _greedy_reqs(cfg, 6, seed=12)
+    plain = _run(model, params, cfg, engc, reqs)
+    spec = _run(model, params, cfg,
+                dataclasses.replace(engc, spec_decode=True,
+                                    spec_draft_layers=cfg.n_layers,
+                                    spec_tokens=2),
+                reqs)
+    for i, (a, b) in enumerate(zip(plain, spec)):
+        np.testing.assert_array_equal(a, b, err_msg=f"request {i}")
