@@ -322,6 +322,11 @@ def apply_env_overrides(cfg: ChatterboxConfig) -> ChatterboxConfig:
         pre_guard_margin=int(_env("CHATTERBOX_PRE_GUARD_MARGIN", eng.pre_guard_margin)),
         admit_interleave=_env_bool("CHATTERBOX_ADMIT_INTERLEAVE",
                                    eng.admit_interleave),
+        rtt_adaptive=_env_bool("CHATTERBOX_RTT_ADAPTIVE", eng.rtt_adaptive),
+        spec_decode=_env_bool("CHATTERBOX_SPEC_DECODE", eng.spec_decode),
+        spec_draft_layers=int(_env("CHATTERBOX_SPEC_DRAFT_LAYERS",
+                                   eng.spec_draft_layers)),
+        spec_tokens=int(_env("CHATTERBOX_SPEC_TOKENS", eng.spec_tokens)),
     )
     post = cfg.post
     post = dataclasses.replace(
