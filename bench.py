@@ -147,9 +147,12 @@ def main():
     # max_model_len=1200, ~187 input tokens and ~394 output tokens per
     # request at 4577.88 tok/s, README.md:151): same KV capacity, same
     # request count, matched input/output volume with varied lengths
+    # rtt_adaptive: on a degraded (>= 20 ms) tunnel window the engine halves
+    # its harvest-sync frequency (chunks_per_dispatch=2); healthy windows
+    # are below the threshold and unaffected (runtime/engine.py rtt_policy)
     eng = EngineConfig(max_batch_size=48, max_model_len=1200, decode_chunk=32,
                        kv_dtype="int8", compact_tail=compact,
-                       admit_interleave=interleave)
+                       admit_interleave=interleave, rtt_adaptive=True)
     if quant_act or compact or interleave:
         log(f"experiment knobs: w8a8={quant_act} compact_tail={compact} "
             f"interleave={interleave}")
@@ -169,6 +172,9 @@ def main():
     log(f"T3 param init+quant: {time.time() - t0:.1f}s")
 
     engine = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(1))
+    if engine.rtt_ms is not None:
+        log(f"rtt_adaptive: probed {engine.rtt_ms:.1f} ms -> "
+            f"chunks_per_dispatch={engine.eng.chunks_per_dispatch}")
 
     n_requests = 154
     reqs = []
