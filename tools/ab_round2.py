@@ -131,9 +131,10 @@ def build_params(cfg):
     return params
 
 
-def engine_run(quant_act: bool, compact: bool, interleave: bool = False,
-               cpd: int = 1, pipelined: bool = False,
-               B=48, S=576, chunk=32):
+def engine_run(quant_act: bool = False, compact: bool = False,
+               interleave: bool = False,
+               cpd: int = 1, pipelined: bool = False, spec: bool = False,
+               temp: float = 0.8, B=48, S=576, chunk=32):
     from chatterbox_tpu.config import EngineConfig, T3ModelConfig
     from chatterbox_tpu.models.t3.model import T3Model
     from chatterbox_tpu.runtime.engine import Request, T3Engine
@@ -145,11 +146,13 @@ def engine_run(quant_act: bool, compact: bool, interleave: bool = False,
     eng = EngineConfig(max_batch_size=B, max_model_len=S, decode_chunk=chunk,
                        kv_dtype="int8", compact_tail=compact,
                        admit_interleave=interleave,
-                       chunks_per_dispatch=cpd, pipelined_harvest=pipelined)
+                       chunks_per_dispatch=cpd, pipelined_harvest=pipelined,
+                       spec_decode=spec,
+                       spec_draft_layers=base_cfg.n_layers, spec_tokens=3)
     rtt0 = probe_rtt()
     log(f"engine_run a8={int(quant_act)} compact={int(compact)} "
-        f"il={int(interleave)} cpd={cpd} pipe={int(pipelined)}: "
-        f"rtt={rtt0:.1f}ms init...")
+        f"il={int(interleave)} cpd={cpd} pipe={int(pipelined)} "
+        f"spec={int(spec)} temp={temp}: rtt={rtt0:.1f}ms init...")
     params = build_params(base_cfg)
     model = T3Model(cfg)
     engine = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(1))
@@ -160,8 +163,8 @@ def engine_run(quant_act: bool, compact: bool, interleave: bool = False,
         cond = (0.02 * rs.standard_normal(
             (cfg.cond_len, cfg.hidden_size))).astype(np.float32)
         reqs.append(Request(text_ids=text, cond_emb=cond,
-                            max_new_tokens=400, temperature=0.8,
-                            top_p=0.8, uid=i))
+                            max_new_tokens=400, temperature=temp,
+                            top_p=1.0 if temp == 0.0 else 0.8, uid=i))
     engine.precompile()
     log("  precompiled")
     warm = [Request(text_ids=reqs[i].text_ids, cond_emb=reqs[i].cond_emb,
@@ -192,14 +195,20 @@ def engine_run(quant_act: bool, compact: bool, interleave: bool = False,
 # (pair_name, arm kwargs) — each pair runs (baseline, arm) back-to-back in
 # ONE tunnel window so the A/B is window-internal; pairs checkpoint to a
 # state file so short healthy windows accumulate across wrapper retries.
+# (pair_name, base_kwargs, arm_kwargs)
 PAIRS = [
-    ("a8", dict(quant_act=True, compact=False)),
-    ("compact", dict(quant_act=False, compact=True)),
-    ("interleave", dict(quant_act=False, compact=False, interleave=True)),
-    ("cpd2", dict(quant_act=False, compact=False, cpd=2)),
-    ("cpd4", dict(quant_act=False, compact=False, cpd=4)),
-    ("pipe", dict(quant_act=False, compact=False, pipelined=True)),
-    ("both", dict(quant_act=True, compact=True)),
+    ("a8", {}, dict(quant_act=True)),
+    ("compact", {}, dict(compact=True)),
+    ("interleave", {}, dict(interleave=True)),
+    ("cpd2", {}, dict(cpd=2)),
+    ("cpd4", {}, dict(cpd=4)),
+    ("pipe", {}, dict(pipelined=True)),
+    ("both", {}, dict(quant_act=True, compact=True)),
+    # spec mechanical cost at alpha=1 (greedy + full-depth self-draft:
+    # every cycle commits M+1=4 tokens) vs the plain greedy engine — the
+    # UPPER BOUND of the speculative path's speedup; the real-checkpoint
+    # decision stays acceptance-gated (tools/probe_draft.py)
+    ("spec_mech", dict(temp=0.0), dict(temp=0.0, spec=True)),
 ]
 
 
@@ -217,11 +226,11 @@ def main():
     log(f"sync RTT: {probe_rtt():.1f} ms")
     if not quick:
         ubench_dense()
-    for name, kw in PAIRS:
+    for name, base_kw, arm_kw in PAIRS:
         if name in state:
             continue
-        base = engine_run(quant_act=False, compact=False)
-        arm = engine_run(**kw)
+        base = engine_run(**base_kw)
+        arm = engine_run(**arm_kw)
         state[name] = {"base": base, "arm": arm}
         with open(state_path, "w") as f:
             json.dump(state, f, indent=1)
@@ -229,7 +238,7 @@ def main():
             f"({arm['tok_s'] / base['tok_s']:.3f}x)")
     log("SUMMARY " + " ".join(
         f"{n}={state[n]['arm']['tok_s']:.0f}/{state[n]['base']['tok_s']:.0f}"
-        for n, _ in PAIRS if n in state))
+        for n, _, _ in PAIRS if n in state))
 
 
 if __name__ == "__main__":
