@@ -147,9 +147,10 @@ def main():
     # max_model_len=1200, ~187 input tokens and ~394 output tokens per
     # request at 4577.88 tok/s, README.md:151): same KV capacity, same
     # request count, matched input/output volume with varied lengths
-    # rtt_adaptive: on a degraded (>= 20 ms) tunnel window the engine halves
-    # its harvest-sync frequency (chunks_per_dispatch=2); healthy windows
-    # are below the threshold and unaffected (runtime/engine.py rtt_policy)
+    # rtt_adaptive: insurance for extreme (>= 40 ms) tunnel windows — the
+    # engine halves its harvest-sync frequency (chunks_per_dispatch=2);
+    # everything measured so far (<= 29 ms) is below the threshold and
+    # unaffected (runtime/engine.py rtt_policy, round-3 A/B data)
     eng = EngineConfig(max_batch_size=48, max_model_len=1200, decode_chunk=32,
                        kv_dtype="int8", compact_tail=compact,
                        admit_interleave=interleave, rtt_adaptive=True)
@@ -194,8 +195,28 @@ def main():
     t0 = time.time()
     engine.precompile()
     log(f"T3 precompile: {time.time() - t0:.1f}s")
+    # Warm EVERY (m_bucket, text_bucket) prefill shape the timed run can
+    # hit: admission waves are capped at 16 (m_buckets 1/4/16) and the
+    # 120-180-token texts span prefill buckets 128 and 256.  The round-3
+    # A/B campaign showed the first run of a process at 3368 tok/s vs 4430
+    # warm — the missing (16, 128/256) prefill compiles were being paid
+    # INSIDE the timed region (docs/PERF.md round-3 A/B table).
+    # warm with the timed run's sampling params (top_p 0.8) so the SAME
+    # needs_top_p jit variants get exercised — top_p=1 warm requests were
+    # compiling unused needs_top_p=False chunk variants instead
+    wkw = dict(temperature=0.8, top_p=0.8)
+    for L in (126, 180):
+        for n in (1, 4, 16):
+            w = [Request(text_ids=np.full((L,), 1, np.int32),
+                         cond_emb=reqs[i].cond_emb, max_new_tokens=8, uid=i,
+                         **wkw)
+                 for i in range(n)]
+            engine.generate(w)
+            engine.reset()
+        log(f"T3 warm prefill L={L} done")
     warm = [Request(text_ids=reqs[i].text_ids, cond_emb=reqs[i].cond_emb,
-                    max_new_tokens=40, uid=i) for i in range(eng.max_batch_size)]
+                    max_new_tokens=40, uid=i, **wkw)
+            for i in range(eng.max_batch_size)]
     for n in (1, 4, len(warm)):
         engine.generate(warm[:n])
         engine.reset()

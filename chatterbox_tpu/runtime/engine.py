@@ -103,16 +103,15 @@ def probe_sync_rtt(n: int = 8) -> float:
 def rtt_policy(rtt_ms: float) -> dict:
     """EngineConfig overrides for a measured sync RTT (pure; unit-tested).
 
-    Healthy link (< 20 ms): shipped defaults — the chunk loop is ~97%
-    device-bound at k=1 (docs/PERF.md dispatch-batching table) and both
-    pipelining and k>1 measured slower.  Degraded link (>= 20 ms): the
-    per-chunk harvest sync + admission stalls dominate (identical code:
-    2786-3396 tok/s healthy vs 1530-1592 degraded), so halve the sync
-    frequency with chunks_per_dispatch=2 — measured only ~5% slower in a
-    healthy window (3217 vs 3373), so the asymmetric bet is favorable even
-    before the degraded-window A/B lands.  Thresholds/choices are to be
-    re-fit from tools/ab_round2.py's per-run RTT-probe logs."""
-    if rtt_ms >= 20.0:
+    Round-3 A/B data (docs/PERF.md round-3 table): at 23-29 ms sync RTT the
+    plain loop measured 4400-4450 tok/s and EVERY sync-reduction knob lost
+    (cpd2 0.93x, cpd4 0.81x, pipelined 0.97x) — the loop is device-bound
+    once all prefill shapes are warmed; the old "degraded-window 2x loss"
+    was cold compiles inside the timed region, not sync stalls.  So the
+    policy only fires as insurance on EXTREME links (>= 40 ms, beyond any
+    window measured so far), where halving the sync frequency with
+    chunks_per_dispatch=2 is the only available lever."""
+    if rtt_ms >= 40.0:
         return {"chunks_per_dispatch": 2}
     return {}
 

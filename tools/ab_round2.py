@@ -165,13 +165,24 @@ def engine_run(quant_act: bool = False, compact: bool = False,
         reqs.append(Request(text_ids=text, cond_emb=cond,
                             max_new_tokens=400, temperature=temp,
                             top_p=1.0 if temp == 0.0 else 0.8, uid=i))
-    engine.precompile()
+    # compile the decode variant the timed run will use (greedy runs take
+    # the needs_top_p=False sampler path — a separate jit variant)
+    ntp = any(r.top_p < 1.0 - 1e-6 for r in reqs)
+    engine.precompile(needs_top_p=ntp)
     log("  precompiled")
-    warm = [Request(text_ids=reqs[i].text_ids, cond_emb=reqs[i].cond_emb,
-                    max_new_tokens=40, uid=i) for i in range(B)]
-    for n in (1, 4, len(warm)):
-        engine.generate(warm[:n])
+    # warm every (m_bucket, text_bucket) shape the timed run can hit
+    # (admission cap 16 -> m_buckets 1/4/16; 130-token texts -> bucket 256)
+    # with the SAME sampling params, so warm exercises the same jit variants
+    wkw = dict(temperature=temp, top_p=1.0 if temp == 0.0 else 0.8)
+    for n in (1, 4, 16):
+        w = [Request(text_ids=reqs[i].text_ids, cond_emb=reqs[i].cond_emb,
+                     max_new_tokens=8, uid=i, **wkw) for i in range(n)]
+        engine.generate(w)
         engine.reset()
+    warm = [Request(text_ids=reqs[i].text_ids, cond_emb=reqs[i].cond_emb,
+                    max_new_tokens=40, uid=i, **wkw) for i in range(B)]
+    engine.generate(warm)
+    engine.reset()
     log("  warm")
     t0 = time.time()
     results = engine.generate(reqs)
