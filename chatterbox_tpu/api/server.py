@@ -304,6 +304,10 @@ class TTSService:
                 self.stats["synth_s"] += time.time() - j.t0
                 j.done.set()
         except Exception as e:
+            import sys
+            import traceback
+            print(f"[Server] synthesis batch failed: {e}", file=sys.stderr)
+            traceback.print_exc()
             self.stats["errors"] += len(jobs)
             for j in jobs:
                 j.error = e
@@ -472,12 +476,14 @@ def make_handler(service: TTSService):
                 self.wfile.write(body)
                 return
 
+            headers_sent = False
             try:
                 if stream:
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/pcm")
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
+                    headers_sent = True
                     for frame in service.stream_pcm_frames(
                             text,
                             frame_ms=int(req.get("frame_ms", 20)),
@@ -505,6 +511,21 @@ def make_handler(service: TTSService):
             except BrokenPipeError:
                 pass
             except Exception as e:
+                import sys
+                import traceback
+                print(f"[Server] request failed: {e}", file=sys.stderr)
+                traceback.print_exc()
+                if headers_sent:
+                    # a 200 + chunked stream is already on the wire; writing
+                    # a second status line would corrupt the chunk framing
+                    # (the client then parses 'HTTP/1.1 500' as a chunk
+                    # size).  Terminate the stream and drop the connection.
+                    try:
+                        self.wfile.write(b"0\r\n\r\n")
+                    except Exception:
+                        pass
+                    self.close_connection = True
+                    return
                 try:
                     body = json.dumps({"error": str(e)}).encode()
                     self.send_response(500)

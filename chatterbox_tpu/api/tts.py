@@ -235,6 +235,15 @@ class ChatterboxTTS:
                     ) -> "ChatterboxTTS":
         """Random-weight instance (development / benchmarking without
         checkpoint access)."""
+        if tokenizer is None:
+            # a dev instance must still tokenize (the on-chip dev server
+            # previously 500'd every request on tokenizer=None); a char
+            # fallback is fine against random weights
+            import sys
+            tok_cls = EnTokenizer if variant == "english" else MTLTokenizer
+            tokenizer = tok_cls.char_fallback()
+            print("[TTS] no tokenizer given with random weights — using a "
+                  "char-level fallback vocab", file=sys.stderr)
         base = apply_env_overrides(cfg or ChatterboxConfig())
         rng = jax.random.PRNGKey(seed)
         t3c, s3c = base.t3, base.s3gen

@@ -25,6 +25,7 @@ logger = logging.getLogger(__name__)
 
 SOT, EOT = "[START]", "[STOP]"
 SPACE = "[SPACE]"
+UNK_TOKEN = "[UNK]"
 
 
 def _resolve(candidates: List[str], what: str) -> str:
@@ -57,6 +58,27 @@ class EnTokenizer:
         cands += [os.path.join(os.getcwd(), "t3-model", "tokenizer.json"),
                   os.environ.get("CHATTERBOX_TOKENIZER_JSON", "")]
         return cls(_resolve(cands, "EnTokenizer"))
+
+    @classmethod
+    def char_fallback(cls, extra_specials: tuple = ()) -> "EnTokenizer":
+        """In-memory char-level tokenizer for random-weight dev instances
+        (this repo ships no vocab asset — the reference bundles
+        tokenizer.json).  Ids are stable but arbitrary; use ONLY with
+        random weights (a real checkpoint needs its real vocab)."""
+        import string
+        from tokenizers import Tokenizer
+        from tokenizers.models import BPE
+        from tokenizers.pre_tokenizers import Split
+        chars = list(string.ascii_letters + string.digits
+                     + string.punctuation + " ")
+        special = [UNK_TOKEN, SOT, EOT, SPACE, *extra_specials]
+        vocab = {t: i for i, t in enumerate(special + chars)}
+        tok = Tokenizer(BPE(vocab=vocab, merges=[], unk_token=UNK_TOKEN))
+        tok.pre_tokenizer = Split("", "isolated")
+        tok.add_special_tokens(special)
+        obj = cls.__new__(cls)
+        obj.tokenizer = tok
+        return obj
 
     def text_to_tokens(self, text: str) -> np.ndarray:
         text = text.replace(" ", SPACE)
@@ -227,6 +249,14 @@ class MTLTokenizer(EnTokenizer):
                   os.path.join(cwd, "mtl_tokenizer.json"),
                   os.environ.get("CHATTERBOX_MTL_TOKENIZER_JSON", "")]
         return cls(_resolve(cands, "MTLTokenizer"), **kw)
+
+    @classmethod
+    def char_fallback(cls, extra_specials: tuple = ()) -> "MTLTokenizer":
+        from .text import SUPPORTED_LANGUAGES
+        tags = tuple(f"[{c}]" for c in SUPPORTED_LANGUAGES)
+        obj = super().char_fallback(extra_specials=tags + extra_specials)
+        obj.cangjie = ChineseCangjieConverter(None)
+        return obj
 
     def preprocess(self, text: str) -> str:
         """Lowercase + NFKD, restoring canonical [START]/[STOP]
