@@ -339,3 +339,47 @@ def test_stream_primer_silence_and_first_chunk_steps():
     # primer: 40 ms of silence = 960 samples = 1920 bytes, all zeros
     assert frames[0] == b"\x00" * (2 * 24000 * 40 // 1000)
     assert fake.steps[0] == 2 and all(s == 9 for s in fake.steps[1:])
+
+
+class FlakyTTS(FakeTTS):
+    """Synthesis fails on the second call (mid-stream for chunked text)."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def generate(self, prompts, **kw):
+        self.calls += 1
+        if self.calls >= 2:
+            raise RuntimeError("synth exploded")
+        return [np.zeros(2400, np.float32) for _ in prompts]
+
+
+def test_streaming_midstream_error_terminates_cleanly():
+    """Regression: when synthesis fails AFTER the 200 + chunked headers are
+    on the wire, the server must terminate the chunked stream (no second
+    'HTTP/1.1 500' status line inside the body — that corrupted client
+    chunk parsing on the real chip)."""
+    from chatterbox_tpu.api.server import TTSService, make_handler
+    from http.server import ThreadingHTTPServer
+
+    service = TTSService(FlakyTTS())
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        long_text = ("first sentence here. " + "and more text follows, " * 20
+                     + "the end.")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/audio/speech",
+            data=json.dumps({"input": long_text, "stream": True,
+                             "first_chunk_chars": 20,
+                             "chunk_chars": 60}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            body = r.read()   # urllib parses chunked framing; a stray
+            # status line inside the body would raise IncompleteRead
+        assert b"HTTP/1.1" not in body
+        assert len(body) >= 4800  # at least the first chunk's audio arrived
+    finally:
+        httpd.shutdown()
