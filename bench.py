@@ -32,7 +32,7 @@ def _supervise() -> int:
     hung mid-stage and the client is dead."""
     import subprocess
     import threading
-    attempts = int(os.environ.get("CHATTERBOX_BENCH_ATTEMPTS", "4"))
+    attempts = int(os.environ.get("CHATTERBOX_BENCH_ATTEMPTS", "6"))
     stall_s = float(os.environ.get("CHATTERBOX_BENCH_STALL_S", "600"))
     env = dict(os.environ, CHATTERBOX_BENCH_CHILD="1")
     for attempt in range(1, attempts + 1):
