@@ -294,6 +294,15 @@ def main():
     s3_audio = n_batches * B * Tg / S3_TOKEN_RATE
     log(f"[S3Gen] {s3_audio:.0f}s audio in {s3_time:.2f}s "
         f"-> {s3_audio / s3_time:.1f}x RT")
+    # same validity gate as T3: S3Gen is pure batched device compute that
+    # has measured 109-120x RT in every alive window; far below that means
+    # the per-batch result fetches sat through an outage
+    s3_floor = float(os.environ.get("CHATTERBOX_BENCH_MIN_S3_RT", "30"))
+    if s3_audio / s3_time < s3_floor:
+        log(f"[bench] S3Gen {s3_audio / s3_time:.1f}x RT is below the "
+            f"validity floor ({s3_floor:.0f}x) — tunnel outage mid-run; "
+            "invalidating attempt")
+        sys.exit(3)
 
     # ---------------- end-to-end ----------------
     audio_s = total_tokens / S3_TOKEN_RATE
