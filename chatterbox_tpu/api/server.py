@@ -541,8 +541,16 @@ def make_handler(service: TTSService):
 
 def serve(tts, host: str = "0.0.0.0", port: int = 8000,
           warmup_text: Optional[str] = None):
-    service = TTSService(tts, warmup_text=warmup_text
-                         or os.environ.get("CHATTERBOX_WARMUP_TEXT"))
+    # Warmup is ON by default like the reference server (its startup
+    # synthesizes a warmup sentence, openai_tts_server.py:533-605) — the
+    # first real request otherwise pays every T3/S3Gen compile (minutes on
+    # a cold cache).  CHATTERBOX_WARMUP_TEXT overrides the text; set it
+    # empty ("") to skip.
+    wt = os.environ.get("CHATTERBOX_WARMUP_TEXT")
+    if wt is None:
+        wt = warmup_text if warmup_text is not None else \
+            "Warm up the synthesis pipeline before serving."
+    service = TTSService(tts, warmup_text=wt or None)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"[Server] listening on {host}:{port}")
     httpd.serve_forever()
