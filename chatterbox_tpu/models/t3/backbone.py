@@ -508,14 +508,16 @@ class Attention(nn.Module):
         q/k/v: [B, T, H(kv), D] fresh block for the T fed tokens per lane.
         Attention spans three segments jointly: the frozen prefix
         (< frozen_len[b]), the committed ring prefix (< ring_base[b]), and a
-        causal self-block over the fed tokens.  The fed tokens' K/V is
-        written into the ring at per-lane offsets ring_base[b] + t; entries
-        past the engine's accepted prefix are simply overwritten by the next
-        speculation cycle (validity is ring_base, which only advances by the
-        accept count).  The T q-rows amortize the dominant frozen-KV read —
-        the whole point of speculative decode on this matvec-bound step
-        (docs/PERF.md).  Reuses the block-diagonal q / block-extract output
-        trick and the int8 x int8 QK of :meth:`_decode_packed`."""
+        causal self-block over the fed tokens.  The ring is READ-ONLY here:
+        the block K/V is returned (head-major [B, H, T, D]) and the engine
+        writes the committed entries into the ring ONCE per speculation
+        cycle — an earlier design wrote the ring inside every layer of
+        every draft step and the verify pass, i.e. 4 whole-ring rewrites
+        per cycle, and measured 3-5x machinery overhead (docs/PERF.md
+        round-3 spec notes).  The T q-rows amortize the dominant frozen-KV
+        read — the whole point of speculative decode on this matvec-bound
+        step.  Reuses the block-diagonal q / block-extract output trick and
+        the int8 x int8 QK of :meth:`_decode_packed`."""
         cfg = self.cfg
         d = cfg.head_dim
         Hq, Hkv = cfg.n_heads, cfg.n_kv_heads
@@ -528,34 +530,6 @@ class Attention(nn.Module):
         ring_quant = rks is not None
         C = ring_k.shape[2]
         cpos = jnp.arange(C)[None, :]                # [1, C]
-        in_win = (cpos >= ring_base[:, None]) & \
-            (cpos < ring_base[:, None] + T)          # [B, C]
-        # one-hot scatter of the T block entries to ring slots base + t
-        W = (cpos[:, :, None] ==
-             (ring_base[:, None, None] + jnp.arange(T)[None, None, :])
-             ).astype(jnp.float32)                   # [B, C, T]
-
-        def write_vals(ring, blk):                   # blk [B, H, T, D]
-            upd = jnp.einsum("bct,bhtd->bhcd", W, blk.astype(jnp.float32))
-            return jnp.where(in_win[:, None, :, None],
-                             upd.astype(ring.dtype), ring)
-
-        def write_scale(ring_s, s):                  # s [B, H, T]
-            upd = jnp.einsum("bct,bht->bhc", W, s.astype(jnp.float32))
-            return jnp.where(in_win[:, None, :],
-                             upd.astype(ring_s.dtype), ring_s)
-
-        if ring_quant:
-            ktq, kts = quantize_kv(kt)
-            vtq, vts = quantize_kv(vt)
-            new_ring_k = write_vals(ring_k, ktq)
-            new_ring_v = write_vals(ring_v, vtq)
-            new_rks = write_scale(rks, kts)
-            new_rvs = write_scale(rvs, vts)
-        else:
-            new_ring_k = write_vals(ring_k, kt)
-            new_ring_v = write_vals(ring_v, vt)
-            new_rks = new_rvs = None
 
         # ---- scores: [B, T, Hq, {S | C | T}] ----
         fkp, fvp = frozen_k, frozen_v
@@ -583,8 +557,8 @@ class Attention(nn.Module):
                             preferred_element_type=jnp.float32
                             ) / jnp.sqrt(jnp.float32(d))
 
-        rk = self._repeat_kv(new_ring_k)
-        rv_ = self._repeat_kv(new_ring_v)
+        rk = self._repeat_kv(ring_k)
+        rv_ = self._repeat_kv(ring_v)
         if ring_quant:
             rk = rk.astype(x.dtype)
             rv_ = rv_.astype(x.dtype)
@@ -592,7 +566,7 @@ class Attention(nn.Module):
                         preferred_element_type=jnp.float32
                         ) / jnp.sqrt(jnp.float32(d))
         if ring_quant:
-            sr = sr * self._repeat_kv(new_rks)[:, None].astype(jnp.float32)
+            sr = sr * self._repeat_kv(rks)[:, None].astype(jnp.float32)
 
         kq_self = self._repeat_kv(kt)                # [B, Hq, T, D]
         ss = jnp.einsum("bthd,bhud->bthu", q, kq_self,
@@ -625,7 +599,7 @@ class Attention(nn.Module):
             pf = pf * fv_scale[:, kv_of][:, None].astype(jnp.float32)
         if ring_quant:
             pr = (pr.astype(jnp.float32)
-                  * self._repeat_kv(new_rvs)[:, None].astype(jnp.float32)
+                  * self._repeat_kv(rvs)[:, None].astype(jnp.float32)
                   ).astype(x.dtype)
         pf = pf.astype(x.dtype)
         of = jnp.einsum("bths,bsD->bthD", pf, fvp.astype(x.dtype),
@@ -638,9 +612,10 @@ class Attention(nn.Module):
         os_ = jnp.einsum("bthu,bhud->bthd", ps, vq_self,
                          preferred_element_type=jnp.float32)
         out = (of + orr + os_).astype(x.dtype).reshape(B, T, Hq * d)
-        align = jnp.zeros((B, 0), jnp.float32)
+        # return the fed block's K/V (head-major); the engine writes the
+        # committed prefix into the ring once per speculation cycle
         return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
-                new_ring_k, new_ring_v, new_rks, new_rvs, align)
+                kt, vt)
 
 
 class MLP(nn.Module):
@@ -668,6 +643,15 @@ class LlamaBlock(nn.Module):
         if ring_idx is None and ring_base is None:
             out, kc, vc = attn(attn_in, positions, valid_len, inv_freq)
             kv_out = (kc, vc)
+        elif ring_base is not None:
+            fk, fv, fks, fvs, rk, rv, rks, rvs = layer_kv
+            out, bk, bv = attn(
+                attn_in, positions, valid_len, inv_freq,
+                frozen_k=fk, frozen_v=fv, frozen_len=valid_len,
+                ring_k=rk, ring_v=rv, ring_idx=None,
+                frozen_k_scale=fks, frozen_v_scale=fvs,
+                ring_k_scale=rks, ring_v_scale=rvs, ring_base=ring_base)
+            kv_out = (bk, bv)
         else:
             fk, fv, fks, fvs, rk, rv, rks, rvs = layer_kv
             out, nrk, nrv, nrks, nrvs, align = attn(
@@ -675,7 +659,7 @@ class LlamaBlock(nn.Module):
                 frozen_k=fk, frozen_v=fv, frozen_len=valid_len,
                 ring_k=rk, ring_v=rv, ring_idx=ring_idx,
                 frozen_k_scale=fks, frozen_v_scale=fvs,
-                ring_k_scale=rks, ring_v_scale=rvs, ring_base=ring_base)
+                ring_k_scale=rks, ring_v_scale=rvs)
             kv_out = (nrk, nrv, nrks, nrvs, align)
         x = x + out
         x = x + MLP(self.cfg, name="mlp")(
@@ -717,12 +701,15 @@ class LlamaBackbone(nn.Module):
             return x, KVCache(k=ks, v=vs)
 
         if mode == "verify":
-            x, (nrk, nrv, nrks, nrvs, _) = scan(cfg, name="layers")(
+            # ring is READ-ONLY in verify mode; the fed block's K/V comes
+            # back stacked head-major [L, B, Hkv, T, D] for the engine to
+            # commit into the ring once per speculation cycle
+            x, (bk, bv) = scan(cfg, name="layers")(
                 embeds, (frozen.k, frozen.v, frozen.k_scale, frozen.v_scale,
                          ring.k, ring.v, ring.k_scale, ring.v_scale),
                 positions, valid_len, inv_freq, None, ring_base)
             x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
-            return x, KVCache(k=nrk, v=nrv, k_scale=nrks, v_scale=nrvs)
+            return x, KVCache(k=bk, v=bv)
 
         x, (nrk, nrv, nrks, nrvs, align) = scan(cfg, name="layers")(
             embeds, (frozen.k, frozen.v, frozen.k_scale, frozen.v_scale,

@@ -185,18 +185,20 @@ class T3Model(nn.Module):
     def verify_step(self, tokens_block, speech_idx0, global_pos0,
                     frozen: KVCache, frozen_len, ring: KVCache, ring_base,
                     cfg_scale):
-        """Multi-token decode for speculative verify (docs/PERF.md): feed T
-        tokens per slot at consecutive positions, attending
+        """Multi-token decode for speculative draft/verify (docs/PERF.md):
+        feed T tokens per slot at consecutive positions, attending
         frozen[:frozen_len] + committed ring[:ring_base] + a causal
-        self-block; the fed tokens' K/V land in the ring at per-lane offsets
-        ring_base + t.
+        self-block.  The ring is READ-ONLY; the fed block's K/V is returned
+        (head-major [L, 2B, Hkv, T, D]) and the engine commits the accepted
+        prefix into the ring once per speculation cycle.
 
         tokens_block: [B, T] fed tokens (slot 0 = last committed token, then
         the draft proposals); speech_idx0 / global_pos0 / ring_base: [B]
-        per-lane bases.  Returns (logits [B, T, V], new_ring) — logits[:, j]
+        per-lane bases.  Returns (logits [B, T, V], block_kv) — logits[:, j]
         is the CFG-combined distribution of the token FOLLOWING fed slot j.
-        T == 1 degenerates to a per-lane-indexed decode step (the truncated
-        draft model uses exactly that)."""
+        The draft model re-feeds its growing proposal block through this
+        same path (extra q-rows are ~free: dense is weight-read-bound and
+        the frozen read amortizes over rows)."""
         B, T = tokens_block.shape
         sp_idx = speech_idx0[:, None] + jnp.arange(T)[None, :]
         emb = self.speech_emb(tokens_block) + self.speech_pos_emb(sp_idx)
@@ -205,13 +207,13 @@ class T3Model(nn.Module):
             jnp.arange(T)[None, :]
         flen2 = jnp.repeat(frozen_len, 2)
         base2 = jnp.repeat(ring_base, 2)
-        hidden, new_ring = self.backbone(
+        hidden, block_kv = self.backbone(
             x, positions, flen2, mode="verify",
             frozen=frozen, ring=ring, ring_base=base2)
         h = hidden.reshape(B, 2, T, -1)
         logits = self.speech_head(h).astype(jnp.float32)     # [B, 2, T, V]
         cond, uncond = logits[:, 0], logits[:, 1]
-        return cond + cfg_scale[:, None, None] * (cond - uncond), new_ring
+        return cond + cfg_scale[:, None, None] * (cond - uncond), block_kv
 
     def training_forward(self, cond_emb, text_ids, speech_tokens, speech_len,
                          act_constraint=None):

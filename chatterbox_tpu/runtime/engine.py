@@ -528,27 +528,31 @@ class T3Engine:
 
         1. **draft**: the truncated-depth model (first spec_draft_layers of
            the trunk + shared norm/head, reading the SAME frozen/ring cache
-           sliced to its layers) greedily proposes M = spec_tokens tokens,
-           one per step, writing its layer-0..k-1 K/V into a scratch copy of
-           the ring slice (discarded — the verify pass recomputes it).
+           sliced to its layers) greedily proposes M = spec_tokens tokens by
+           re-feeding its growing proposal block through the multi-query
+           verify path — extra q-rows are ~free (dense projections are
+           weight-read-bound, the frozen-KV read amortizes over rows), and
+           NOTHING writes the ring during drafting.
         2. **verify**: ONE multi-query pass of the full trunk over the M+1
-           fed tokens [last_committed, d_1..d_M] — M+1 q-rows amortize the
-           dominant frozen-KV read — writing full-depth K/V into the ring at
-           per-lane offsets.
+           fed tokens [last_committed, d_1..d_M], returning the block K/V.
         3. **commit**: sample the verify logits sequentially with the real
            sampler (rep-penalty seen-mask updates masked by commit, so state
            is exactly the plain path's for the committed prefix); commit
            verify samples while they match the draft, stop at the first
-           mismatch / EOS / cap.  Up to M+1 tokens commit per cycle; the
-           committed stream IS the verify sampler's stream, so greedy
-           decoding is bit-identical to the plain path for ANY draft depth
-           (test_spec_decode.py), and at temperature > 0 it stays exactly
-           the model's distribution (only the realized rng stream differs:
-           M+1 draws per cycle).
+           mismatch / EOS / cap.  The fed block's K/V is inserted into the
+           ring ONCE per cycle at per-lane offsets (the first engine wrote
+           the ring inside every layer of every draft step — 4 whole-ring
+           rewrites per cycle, measured 3-5x machinery overhead;
+           docs/PERF.md round-3 spec notes).
 
-        Ring entries past each lane's accept count are overwritten by the
-        next cycle; ring validity (= ring_base) only ever covers committed
-        tokens, so the merge (n_new = global_pos - g0) is unchanged."""
+        Up to M+1 tokens commit per cycle; the committed stream IS the
+        verify sampler's stream, so greedy decoding is bit-identical to the
+        plain path for ANY draft depth (test_spec_decode.py), and at
+        temperature > 0 it stays exactly the model's distribution (only the
+        realized rng stream differs: M+1 draws per cycle).  Ring entries
+        past each lane's accept count are overwritten by the next cycle;
+        ring validity (= ring_base) only ever covers committed tokens, so
+        the merge (n_new = global_pos - g0) is unchanged."""
         cfg, eng = self.cfg, self.eng
         B = st.tokens.shape[0]
         M = eng.spec_tokens
@@ -573,33 +577,34 @@ class T3Engine:
 
         def cycle(carry, _):
             ring, rv, st = carry
-            # --- draft M tokens (greedy, truncated depth) ---
+            # --- draft M tokens (greedy, truncated depth, no ring writes:
+            # the proposal block re-feeds through the verify path) ---
             ring_d = KVCache(
                 k=ring.k[:kd], v=ring.v[:kd],
                 k_scale=None if ring.k_scale is None else ring.k_scale[:kd],
                 v_scale=None if ring.v_scale is None else ring.v_scale[:kd])
-            tok = st.tokens
+            fed = st.tokens[:, None]                           # [B, 1]
             drafts = []
             for m in range(M):
-                def dapply(model, tok=tok, m=m, ring_d=ring_d):
+                def dapply(model, fed=fed):
                     return model.verify_step(
-                        tok[:, None], st.n_generated + m, st.global_pos + m,
-                        fro_d, g0, ring_d, rv + m, st.cfg_scale)
-                dlogits, ring_d = nn_apply(self.draft_model, draft_params,
-                                           dapply)
-                dlogits = jnp.where(self._allow_mask[None, :],
-                                    dlogits[:, 0], -jnp.inf)
-                tok = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
-                drafts.append(tok)
-            fed = jnp.stack([st.tokens] + drafts, axis=1)      # [B, M+1]
+                        fed, st.n_generated, st.global_pos,
+                        fro_d, g0, ring_d, rv, st.cfg_scale)
+                dlogits, _ = nn_apply(self.draft_model, draft_params, dapply)
+                last = jnp.where(self._allow_mask[None, :],
+                                 dlogits[:, m], -jnp.inf)
+                d = jnp.argmax(last, axis=-1).astype(jnp.int32)
+                drafts.append(d)
+                fed = jnp.concatenate([fed, d[:, None]], axis=1)
 
             # --- verify: one multi-query full-trunk pass ---
             def vapply(model):
                 return model.verify_step(fed, st.n_generated, st.global_pos,
                                          fro, g0, ring, rv, st.cfg_scale)
-            vlogits, new_ring = nn_apply(self.model, params, vapply)
+            vlogits, blk = nn_apply(self.model, params, vapply)
             vlogits = jnp.where(self._allow_mask[None, None, :], vlogits,
                                 -jnp.inf)
+            ring = self._ring_insert(ring, blk, rv)
 
             # --- sequential sample + accept-prefix commit ---
             live = st.active & ~st.done
@@ -630,12 +635,44 @@ class T3Engine:
                 tokens=tokens_new, n_generated=n_run, global_pos=gp,
                 done=done_run, out_buf=out_buf,
                 sampler=SamplerState(seen=seen, rng=rng))
-            return (new_ring, rv_new, new_st), None
+            return (ring, rv_new, new_st), None
 
         (ring, _, st), _ = jax.lax.scan(
             cycle, (ring, jnp.zeros((B,), jnp.int32), st), None,
             length=n_cycles)
         return ring, g0, st
+
+    def _ring_insert(self, ring: KVCache, blk: KVCache, base):
+        """Insert a fed block's K/V (head-major [L, B2, H, T, D]) into the
+        head-major ring at per-lane offsets base[b] (slot-level [B]; lanes
+        repeat).  One whole-ring masked write per speculation cycle."""
+        base2 = jnp.repeat(base, 2)
+        T = blk.k.shape[3]
+        C = ring.k.shape[3]
+        cpos = jnp.arange(C)
+        W = (cpos[None, :, None] ==
+             (base2[:, None, None] + jnp.arange(T)[None, None, :])
+             ).astype(jnp.float32)                       # [B2, C, T]
+        in_win = (cpos[None, :] >= base2[:, None]) & \
+            (cpos[None, :] < base2[:, None] + T)         # [B2, C]
+
+        def wv(ring_a, u):                               # u [L, B2, H, T, D]
+            upd = jnp.einsum("bct,lbhtd->lbhcd", W, u.astype(jnp.float32))
+            return jnp.where(in_win[None, :, None, :, None],
+                             upd.astype(ring_a.dtype), ring_a)
+
+        def wsc(ring_s, s):                              # s [L, B2, H, T]
+            upd = jnp.einsum("bct,lbht->lbhc", W, s.astype(jnp.float32))
+            return jnp.where(in_win[None, :, None, :],
+                             upd.astype(ring_s.dtype), ring_s)
+
+        if ring.quantized:
+            kq, ks = quantize_kv(blk.k)
+            vq, vs = quantize_kv(blk.v)
+            return KVCache(k=wv(ring.k, kq), v=wv(ring.v, vq),
+                           k_scale=wsc(ring.k_scale, ks),
+                           v_scale=wsc(ring.v_scale, vs))
+        return KVCache(k=wv(ring.k, blk.k), v=wv(ring.v, blk.v))
 
     def _dispatch_spec(self, sched, needs_top_p: bool) -> int:
         """Spec-mode replacement for one (decode chunk + merge) dispatch:
