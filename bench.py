@@ -230,6 +230,7 @@ def main():
     # first-run cost is process/tunnel-side, not compile).  A serving
     # deployment is a long-lived process, so steady state is the honest
     # measurement — the rehearsal is printed for transparency.
+    os.environ.setdefault("CHATTERBOX_DEBUG", "1")  # phase timers to stderr
     t0 = time.time()
     engine.generate(reqs)
     engine.reset()
