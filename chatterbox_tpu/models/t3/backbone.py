@@ -536,6 +536,11 @@ class Attention(nn.Module):
         if int4_packed:
             fkp, fvp = unpack_int4(fkp), unpack_int4(fvp)
         S = fkp.shape[1]
+        # frozen QK/PV use einsums SHAPE-IDENTICAL to the tuned decode
+        # path's ("bxD,bsD->bxs" with x = T*Hq fused) — a distinct einsum
+        # form over the same cache risks XLA choosing a different layout
+        # and relayouting the whole frozen cache per pass (the packed-heads
+        # design exists precisely because of that failure mode)
         if fk_scale is not None:
             qf = q.astype(jnp.float32)               # [B, T, Hq, D]
             qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) + 1e-9
@@ -543,19 +548,20 @@ class Attention(nn.Module):
                           127).astype(jnp.int8)
             qbd = (q8[:, :, :, None, :]
                    * onehot.astype(jnp.int8)[None, None, :, :, None]
-                   ).reshape(B, T, Hq, Hkv * d)
-            s32 = jnp.einsum("bthD,bsD->bths", qbd, fkp,
-                             preferred_element_type=jnp.int32)
+                   ).reshape(B, T * Hq, Hkv * d)
+            s32 = jnp.einsum("bxD,bsD->bxs", qbd, fkp,
+                             preferred_element_type=jnp.int32
+                             ).reshape(B, T, Hq, S)
             sf = (s32.astype(jnp.float32)
                   * (qa / (127.0 * jnp.sqrt(jnp.float32(d))))
                   * fk_scale[:, kv_of][:, None].astype(jnp.float32))
         else:
             qbd = (q[:, :, :, None, :]
                    * onehot.astype(x.dtype)[None, None, :, :, None]
-                   ).reshape(B, T, Hq, Hkv * d)
-            sf = jnp.einsum("bthD,bsD->bths", qbd, fkp.astype(x.dtype),
+                   ).reshape(B, T * Hq, Hkv * d)
+            sf = jnp.einsum("bxD,bsD->bxs", qbd, fkp.astype(x.dtype),
                             preferred_element_type=jnp.float32
-                            ) / jnp.sqrt(jnp.float32(d))
+                            ).reshape(B, T, Hq, S) / jnp.sqrt(jnp.float32(d))
 
         rk = self._repeat_kv(ring_k)
         rv_ = self._repeat_kv(ring_v)
@@ -602,7 +608,8 @@ class Attention(nn.Module):
                   * self._repeat_kv(rvs)[:, None].astype(jnp.float32)
                   ).astype(x.dtype)
         pf = pf.astype(x.dtype)
-        of = jnp.einsum("bths,bsD->bthD", pf, fvp.astype(x.dtype),
+        of = jnp.einsum("bxs,bsD->bxD", pf.reshape(B, T * Hq, S),
+                        fvp.astype(x.dtype),
                         preferred_element_type=jnp.float32)
         of = jnp.einsum("bthgd,hg->bthd", of.reshape(B, T, Hq, Hkv, d),
                         onehot.astype(jnp.float32))

@@ -645,26 +645,27 @@ class T3Engine:
     def _ring_insert(self, ring: KVCache, blk: KVCache, base):
         """Insert a fed block's K/V (head-major [L, B2, H, T, D]) into the
         head-major ring at per-lane offsets base[b] (slot-level [B]; lanes
-        repeat).  One whole-ring masked write per speculation cycle."""
+        repeat).  One whole-ring gather+select per speculation cycle, in the
+        ring's OWN dtype — the first version did this via an f32 one-hot
+        einsum, whose [L, B2, H, C, D] f32 intermediate (~4x the int8 ring)
+        dominated the spec cycle's HBM traffic."""
         base2 = jnp.repeat(base, 2)
         T = blk.k.shape[3]
         C = ring.k.shape[3]
         cpos = jnp.arange(C)
-        W = (cpos[None, :, None] ==
-             (base2[:, None, None] + jnp.arange(T)[None, None, :])
-             ).astype(jnp.float32)                       # [B2, C, T]
+        src = jnp.clip(cpos[None, :] - base2[:, None], 0, T - 1)  # [B2, C]
         in_win = (cpos[None, :] >= base2[:, None]) & \
             (cpos[None, :] < base2[:, None] + T)         # [B2, C]
 
         def wv(ring_a, u):                               # u [L, B2, H, T, D]
-            upd = jnp.einsum("bct,lbhtd->lbhcd", W, u.astype(jnp.float32))
-            return jnp.where(in_win[None, :, None, :, None],
-                             upd.astype(ring_a.dtype), ring_a)
+            g = jnp.take_along_axis(
+                u.astype(ring_a.dtype), src[None, :, None, :, None], axis=3)
+            return jnp.where(in_win[None, :, None, :, None], g, ring_a)
 
         def wsc(ring_s, s):                              # s [L, B2, H, T]
-            upd = jnp.einsum("bct,lbht->lbhc", W, s.astype(jnp.float32))
-            return jnp.where(in_win[None, :, None, :],
-                             upd.astype(ring_s.dtype), ring_s)
+            g = jnp.take_along_axis(
+                s.astype(ring_s.dtype), src[None, :, None, :], axis=3)
+            return jnp.where(in_win[None, :, None, :], g, ring_s)
 
         if ring.quantized:
             kq, ks = quantize_kv(blk.k)
