@@ -36,7 +36,8 @@ from ..config import T3ModelConfig, EngineConfig
 from ..models.t3.backbone import (KVCache, pack_heads, quantize_kv,
                                   quantize_kv_packed)
 from ..models.t3.model import T3Model
-from ..ops.sampling import SamplerState, SamplingParams, sample_step
+from ..ops.sampling import (SamplerState, SamplingParams,
+                            apply_repetition_penalty, sample_step)
 
 
 @dataclasses.dataclass
@@ -585,6 +586,15 @@ class T3Engine:
                 v_scale=None if ring.v_scale is None else ring.v_scale[:kd])
             fed = st.tokens[:, None]                           # [B, 1]
             drafts = []
+            # The draft must propose what the VERIFY SAMPLER would pick, not
+            # the raw argmax: the sampler applies the repetition penalty
+            # (default 2.0), which moves the argmax often enough that raw
+            # drafts only matched ~1.4/4 tokens per cycle even at full
+            # depth (round-3 profile).  Mirror the penalty with a local
+            # seen-chain that assumes the drafts commit (exactly the state
+            # the verify sampler has when they do; temperature scaling and
+            # min-p/top-p masking never move the argmax).
+            dseen = st.sampler.seen
             for m in range(M):
                 def dapply(model, fed=fed):
                     return model.verify_step(
@@ -593,7 +603,10 @@ class T3Engine:
                 dlogits, _ = nn_apply(self.draft_model, draft_params, dapply)
                 last = jnp.where(self._allow_mask[None, :],
                                  dlogits[:, m], -jnp.inf)
+                last = apply_repetition_penalty(
+                    last, dseen, st.params.repetition_penalty)
                 d = jnp.argmax(last, axis=-1).astype(jnp.int32)
+                dseen = dseen.at[aridx, d].set(True)
                 drafts.append(d)
                 fed = jnp.concatenate([fed, d[:, None]], axis=1)
 
