@@ -97,6 +97,15 @@ def main():
         max_batch_size=B, max_model_len=S, decode_chunk=chunk,
         kv_dtype="int8", spec_decode=True,
         spec_draft_layers=base_cfg.n_layers, spec_tokens=3))
+    # k=10: the real operating depth.  Random weights give near-zero
+    # acceptance for a truncated draft, so tok/s is meaningless here — but
+    # the COST per cycle (4 dispatches = 32 cycles) is exactly what the
+    # machinery multiplier needs: cost model says ~(1 + M*k/30) plain
+    # steps per cycle = 2 at k=10/M=3.
+    run_variant("spec_k10", EngineConfig(
+        max_batch_size=B, max_model_len=S, decode_chunk=chunk,
+        kv_dtype="int8", spec_decode=True,
+        spec_draft_layers=10, spec_tokens=3))
     log("done; inspect with: python tools/xprof.py <trace_dir> 25 --group")
 
 
