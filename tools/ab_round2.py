@@ -1,15 +1,16 @@
-"""Round-2 A/B campaign in ONE process (one TPU client acquisition).
+"""Engine A/B campaign: checkpointed (baseline, arm) pairs in one process.
 
-The tunnel's failure modes this round include multi-minute client-acquire
-hangs, so every pending measurement runs under a single client: RTT probe,
-the w8/w8a8/bf16 dense microbench, then decode-engine A/B/A over the
-experiment knobs (baseline / quant_act / compact_tail / both), each on the
-bench_t3 workload (96 reqs x 130 text x 400 caps, B=48, S=576, int8 KV).
+Each pending pair runs (baseline, arm) back-to-back so the A/B is internal
+to one tunnel window, and persists its result to CHATTERBOX_AB_STATE
+(default /tmp/r3/ab_state.json) — the tunnel's ~15-minute alive windows
+are shorter than a full campaign, so pairs accumulate across watchdog
+retries (see docs/PERF.md "Round-3 A/B campaign RESULTS" for the landed
+numbers and the warm-shape methodology).  Params build once per process;
+engines are torn down between runs (params + cache ~2.2 GB each).
 
-Engines are built and torn down sequentially (params + cache ~2.2 GB each;
-dropping references frees HBM before the next config).
+Workload: 96 reqs x 130 text x 400 caps, B=48, S=576, int8 KV.
 
-Usage: python tools/ab_round2.py [quick]   # quick: skip the ubench
+Usage: python tools/ab_round2.py [quick]   # quick: skip the dense ubench
 """
 import dataclasses
 import gc
