@@ -223,6 +223,13 @@ PAIRS = [
     # draft with high acceptance — measurable only on real checkpoints
     # (tools/probe_draft.py); this arm bounds the machinery cost.
     ("spec_mech", dict(temp=0.0), dict(temp=0.0, spec=True)),
+    # cache-allocation size effect: same workload/caps/s_active trajectory,
+    # only max_model_len differs (576 vs 1200).  bench.py at S=1200 runs
+    # ~2x slower per step than the campaign at S=576 at similar s_active —
+    # if this pair reproduces that, the dense slot cache's allocation size
+    # (merge windows / slices over a 2x buffer) is the round-4 target
+    # (lazy cache growth to mimic paged-KV's laziness without page tables).
+    ("s1200", {}, dict(S=1200)),
 ]
 
 
