@@ -202,6 +202,8 @@ class T3Engine:
             static_argnames=("n_steps", "s_active", "needs_top_p"),
             donate_argnames=("st",))
         self._merge = jax.jit(self._merge_impl, donate_argnames=("frozen",))
+        self._grow = jax.jit(self._grow_impl, static_argnames=("new_s",),
+                             donate_argnames=("cache",))
 
         if eng.spec_decode:
             # Speculative multi-token decode (docs/PERF.md): layer-skip
@@ -233,7 +235,19 @@ class T3Engine:
     # ------------------------------------------------------------------
     def reset(self):
         cfgm, B, S = self.cfg, self.B, self.S
-        self.cache = KVCache.zeros(cfgm, 2 * B, S, self._kv_dtype,
+        # Lazy cache allocation: start at the smallest position bucket and
+        # grow on demand (_ensure_capacity at admission).  max_model_len is
+        # the LOGICAL cap for KV-capacity parity with the reference (e.g.
+        # 1200), but a dense slot cache allocated at the full cap measured
+        # ~1.8x slower per decode step than one sized to the workload at
+        # the SAME attention window (round-3 s1200 A/B: warm 4400 tok/s at
+        # S=576 vs 2450 at S=1200 — the ~7 GB cache + its merge transients
+        # crowd HBM).  vLLM gets this laziness from paged KV; here it is a
+        # bucketed realloc-and-copy, paid once per growth step.
+        self._s_alloc = (S if self.mesh is not None
+                         else self._alloc_bucket(1))
+        self.cache = KVCache.zeros(cfgm, 2 * B, self._s_alloc,
+                                   self._kv_dtype,
                                    bits=self._kv_bits, packed=True)
         if self.mesh is not None:
             from jax.sharding import NamedSharding
@@ -364,21 +378,49 @@ class T3Engine:
         )
         return new_cache, st
 
-    def _s_bucket(self, pos: int) -> int:
+    def _alloc_bucket(self, pos: int) -> int:
         # bucket grid ~S/6: finer buckets cut the dominant frozen-cache
         # attention read (decode cost scales with s_active); the persistent
         # XLA compile cache keeps the extra compiles a one-time cost
         step = max(96, -(-self.S // 6))
         return max(step, min(self.S, -(-pos // step) * step))
 
+    def _s_bucket(self, pos: int) -> int:
+        # the attention window can never exceed the allocated cache length
+        return min(self._alloc_bucket(pos), self._s_alloc)
+
+    def _ensure_capacity(self, needed: int):
+        """Grow the slot cache to the bucket covering ``needed`` positions
+        (no-op if it already fits; sharded engines allocate full-size up
+        front).  One realloc-and-copy per growth step — see reset()."""
+        if self.mesh is not None or needed <= self._s_alloc:
+            return
+        self.cache = self._grow(self.cache,
+                                new_s=self._alloc_bucket(needed))
+        self._s_alloc = int(self.cache.k.shape[2])
+
+    def _grow_impl(self, cache: KVCache, *, new_s: int) -> KVCache:
+        new = KVCache.zeros(self.cfg, cache.k.shape[1], new_s,
+                            self._kv_dtype, bits=self._kv_bits, packed=True)
+        s_old = cache.k.shape[2]
+        k = new.k.at[:, :, :s_old].set(cache.k)
+        v = new.v.at[:, :, :s_old].set(cache.v)
+        if cache.quantized:
+            return KVCache(
+                k=k, v=v,
+                k_scale=new.k_scale.at[:, :, :, :s_old].set(cache.k_scale),
+                v_scale=new.v_scale.at[:, :, :, :s_old].set(cache.v_scale))
+        return KVCache(k=k, v=v)
+
     def precompile(self, needs_top_p: bool = True):
         """Compile the decode dispatch for every s_active bucket up front so
         steady-state serving never hits a compile."""
         step = max(96, -(-self.S // 6))
-        buckets = sorted({self._s_bucket(p)
+        buckets = sorted({self._alloc_bucket(p)
                           for p in range(step, self.S + step, step)})
         eng = self.eng
         for s_active in buckets:
+            self._ensure_capacity(s_active)
             if eng.spec_decode:
                 n_cycles = max(1, eng.decode_chunk // (eng.spec_tokens + 1))
                 ring, g0, self.state = self._spec_chunk(
@@ -1119,6 +1161,16 @@ class T3Engine:
         m_bucket = next((b for b in mb_opts if b >= m), self.B)
         text_bucket = _bucket(max(len(r.text_ids) for r in reqs),
                               eng.prefill_buckets)
+
+        # lazily grow the slot cache to cover this wave's prefill block and
+        # every admitted request's worst-case final position
+        needed = self.cfg.cond_len + text_bucket + 1
+        for r in reqs:
+            mn = min(r.max_new_tokens, self.max_out,
+                     self.S - len(r.text_ids) - self.cfg.cond_len - 1)
+            needed = max(needed, self.cfg.cond_len + len(r.text_ids) + 1
+                         + mn + 1)
+        self._ensure_capacity(min(needed, self.S))
 
         text = np.zeros((m_bucket, text_bucket), np.int32)
         tlen = np.zeros((m_bucket,), np.int32)

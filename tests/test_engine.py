@@ -390,3 +390,39 @@ def test_rtt_adaptive_engine_construction(setup):
     rb = e.generate(reqs)
     for x, y in zip(ra, rb):
         np.testing.assert_array_equal(x.tokens, y.tokens)
+
+
+def test_lazy_cache_growth(setup):
+    """The slot cache starts at the smallest position bucket, grows when a
+    wave needs more, and growth mid-serving never changes greedy streams
+    (round-3: a full-max_model_len dense cache measured ~1.8x slower per
+    step than one sized to the workload)."""
+    cfg, model, params, eng = setup
+    rng = jax.random.PRNGKey(51)
+    short = [mk_req(cfg, jax.random.fold_in(rng, i), 4, max_new=5,
+                    temperature=0.0, uid=i) for i in range(2)]
+    # needs ~ cond + 8 text + 1 + 70 -> beyond the first bucket for S=96
+    lng = mk_req(cfg, jax.random.fold_in(rng, 9), 8, max_new=70,
+                 temperature=0.0, uid=9)
+
+    e = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(5))
+    step = max(96, -(-e.S // 6))
+    assert e.cache.k.shape[2] == step          # starts minimal
+    r_short = e.generate(short)
+    alloc_after_short = e.cache.k.shape[2]
+
+    # growth mid-serving: long request admitted into the same engine
+    r_mixed = e.generate([lng] + short)
+    assert e.cache.k.shape[2] >= alloc_after_short
+
+    # equality vs an engine that allocated big from its first wave
+    e2 = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(5))
+    r2 = e2.generate([lng] + short)
+    for a, b in zip(r_mixed, r2):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+    # and the short-only streams are unaffected by allocation size
+    e3 = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(5))
+    e3._ensure_capacity(e3.S)
+    r3 = e3.generate(short)
+    for a, b in zip(r_short, r3):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
