@@ -400,16 +400,23 @@ class T3Engine:
         self._s_alloc = int(self.cache.k.shape[2])
 
     def _grow_impl(self, cache: KVCache, *, new_s: int) -> KVCache:
-        new = KVCache.zeros(self.cfg, cache.k.shape[1], new_s,
-                            self._kv_dtype, bits=self._kv_bits, packed=True)
-        s_old = cache.k.shape[2]
-        k = new.k.at[:, :, :s_old].set(cache.k)
-        v = new.v.at[:, :, :s_old].set(cache.v)
+        # grow by CONCATENATION, not zeros+DUS: the DUS form made XLA pick a
+        # non-default layout for the grown cache, which then mismatched the
+        # merge jit's output layout — donation became unusable ("Some
+        # donated buffers were not usable: int8[30,96,480,1024]...") and
+        # every subsequent merge paid whole-cache relayout copies
+        pad = new_s - cache.k.shape[2]
+        zk = jnp.zeros(cache.k.shape[:2] + (pad,) + cache.k.shape[3:],
+                       cache.k.dtype)
+        k = jnp.concatenate([cache.k, zk], axis=2)
+        v = jnp.concatenate([cache.v, zk], axis=2)
         if cache.quantized:
+            zs = jnp.zeros(cache.k_scale.shape[:3] + (pad,),
+                           cache.k_scale.dtype)
             return KVCache(
                 k=k, v=v,
-                k_scale=new.k_scale.at[:, :, :, :s_old].set(cache.k_scale),
-                v_scale=new.v_scale.at[:, :, :, :s_old].set(cache.v_scale))
+                k_scale=jnp.concatenate([cache.k_scale, zs], axis=3),
+                v_scale=jnp.concatenate([cache.v_scale, zs], axis=3))
         return KVCache(k=k, v=v)
 
     def precompile(self, needs_top_p: bool = True):
