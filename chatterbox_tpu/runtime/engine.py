@@ -699,17 +699,15 @@ class T3Engine:
                 sampler=SamplerState(seen=seen, rng=rng))
             return (ring, rv_new, new_st), None
 
-        # python-unrolled cycles: a lax.scan carried the [L, 2B, H, C, D]
-        # ring (k+v+scales, ~200 MB at B=48) through its carry, and the
-        # device trace showed the cycle-while's exclusive time (~880 ms per
-        # 4 dispatches) dwarfing the actual draft/verify passes — scan
-        # carries double-buffer when aliasing fails.  Unrolled (n_cycles is
-        # small, <= decode_chunk/(M+1)), XLA can alias the ring across
-        # iterations; the per-pass backbone scans still share one body.
-        carry = (ring, jnp.zeros((B,), jnp.int32), st)
-        for _ in range(n_cycles):
-            carry, _ = cycle(carry, None)
-        ring, _, st = carry
+        # NOTE: keep the cycle loop as lax.scan.  A python-unrolled variant
+        # (motivated by the cycle-while's large exclusive time in device
+        # traces — suspected ring-carry double-buffering) measured ~8x
+        # SLOWER on-chip (143 s vs 17 s per 4 dispatches): unrolling
+        # defeats XLA's buffer reuse across iterations instead of helping
+        # it.  docs/PERF.md round-3 spec notes.
+        (ring, _, st), _ = jax.lax.scan(
+            cycle, (ring, jnp.zeros((B,), jnp.int32), st), None,
+            length=n_cycles)
         return ring, g0, st
 
     def _ring_insert(self, ring: KVCache, blk: KVCache, base):
