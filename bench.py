@@ -193,7 +193,7 @@ def main():
                             temperature=0.8, top_p=0.8, uid=i))
 
     t0 = time.time()
-    engine.precompile()
+    engine.precompile(verbose=True)
     log(f"T3 precompile: {time.time() - t0:.1f}s")
     # Warm EVERY (m_bucket, text_bucket) prefill shape the timed run can
     # hit: admission waves are capped at 16 (m_buckets 1/4/16) and the

@@ -379,10 +379,14 @@ class T3Engine:
         return new_cache, st
 
     def _alloc_bucket(self, pos: int) -> int:
-        # bucket grid ~S/6: finer buckets cut the dominant frozen-cache
-        # attention read (decode cost scales with s_active); the persistent
-        # XLA compile cache keeps the extra compiles a one-time cost
-        step = max(96, -(-self.S // 6))
+        # constant 96-step bucket grid: finer buckets cut the dominant
+        # frozen-cache attention read (decode cost scales with s_active).
+        # This was ~S/6, which at max_model_len 1200 coarsened to 200-wide
+        # buckets — every decode step over-read up to 200 positions per
+        # lane on the parity bench.  The persistent XLA compile cache keeps
+        # the extra per-bucket compiles a one-time cost (precompile logs
+        # per-bucket progress so outage watchdogs see liveness).
+        step = 96
         return max(step, min(self.S, -(-pos // step) * step))
 
     def _s_bucket(self, pos: int) -> int:
@@ -419,14 +423,18 @@ class T3Engine:
                 v_scale=jnp.concatenate([cache.v_scale, zs], axis=3))
         return KVCache(k=k, v=v)
 
-    def precompile(self, needs_top_p: bool = True):
+    def precompile(self, needs_top_p: bool = True, verbose: bool = False):
         """Compile the decode dispatch for every s_active bucket up front so
         steady-state serving never hits a compile."""
-        step = max(96, -(-self.S // 6))
+        step = 96
         buckets = sorted({self._alloc_bucket(p)
                           for p in range(step, self.S + step, step)})
         eng = self.eng
         for s_active in buckets:
+            if verbose:
+                import sys
+                print(f"[engine] precompile s_active={s_active}",
+                      file=sys.stderr, flush=True)
             self._ensure_capacity(s_active)
             if eng.spec_decode:
                 n_cycles = max(1, eng.decode_chunk // (eng.spec_tokens + 1))
