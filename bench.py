@@ -232,7 +232,20 @@ def main():
     # measurement — the rehearsal is printed for transparency.
     os.environ.setdefault("CHATTERBOX_DEBUG", "1")  # phase timers to stderr
     t0 = time.time()
-    engine.generate(reqs)
+    # heartbeat: a cold rehearsal can stay stderr-silent for minutes while
+    # steady-state (alloc, s_active) decode pairs compile inside it — keep
+    # the supervisor's progress watchdog fed
+    import threading
+    hb_stop = threading.Event()
+
+    def _hb():
+        while not hb_stop.wait(60.0):
+            log(f"[bench] rehearsal running ({time.time() - t0:.0f}s)")
+    threading.Thread(target=_hb, daemon=True).start()
+    try:
+        engine.generate(reqs)
+    finally:
+        hb_stop.set()
     engine.reset()
     log(f"T3 rehearsal (untimed first full run): {time.time() - t0:.1f}s")
 
