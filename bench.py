@@ -193,7 +193,12 @@ def main():
                             temperature=0.8, top_p=0.8, uid=i))
 
     t0 = time.time()
-    engine.precompile(verbose=True)
+    # bound precompile to the workload's position range: every (alloc
+    # level, s_active) pair the timed run can hit gets compiled up front
+    # (the engine keys decode jits on the allocated cache shape too)
+    max_pos = max(cfg.cond_len + len(r.text_ids) + 1 + r.max_new_tokens + 1
+                  for r in reqs)
+    engine.precompile(verbose=True, workload_max_pos=max_pos)
     log(f"T3 precompile: {time.time() - t0:.1f}s")
     # Warm EVERY (m_bucket, text_bucket) prefill shape the timed run can
     # hit: admission waves are capped at 16 (m_buckets 1/4/16) and the

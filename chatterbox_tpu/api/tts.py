@@ -362,7 +362,11 @@ class ChatterboxTTS:
         """16 kHz wav -> S3 speech-token ids (reference S3Tokenizer.forward,
         s3tokenizer.py:90-126).  Exposed for token-id goldens/diagnostics."""
         mel = dsp.s3_tokenizer_mel(wav16, self.s3tok.cfg.n_mels)
-        toks, tlen = jax.jit(lambda p, m, l: self.s3tok.apply(p, m, l))(
+        if not hasattr(self, "_s3tok_jit"):   # cache: a fresh lambda per
+            # call would recompile the tokenizer forward every invocation
+            self._s3tok_jit = jax.jit(
+                lambda p, m, l: self.s3tok.apply(p, m, l))
+        toks, tlen = self._s3tok_jit(
             self.s3tok_params, jnp.asarray(mel[None]),
             jnp.asarray([mel.shape[0]], jnp.int32))
         return np.asarray(toks[0, : int(tlen[0])], np.int32)
@@ -456,7 +460,7 @@ class ChatterboxTTS:
             exaggeration=0.5, max_tokens: int = 1000,
             diffusion_steps: int = 10, top_p=1.0,
             min_p=0.05, repetition_penalty=2.0,
-            cfg_scale=None) -> List[np.ndarray]:
+            cfg_scale=None, return_tokens: bool = False) -> List[np.ndarray]:
         """``language_id`` / ``temperature`` / ``exaggeration`` / ``top_p`` /
         ``min_p`` / ``repetition_penalty`` / ``cfg_scale`` accept a scalar or
         a per-prompt list (reference mtl_tts.py:405-435 supports language_id
@@ -544,6 +548,8 @@ class ChatterboxTTS:
         out = [postprocess_wav(w, len(t), self.cfg.post)
                for w, t in zip(wavs, token_lists)]
         print(f"[S3Gen] Wavform Generation time: {time.time() - t0:.2f}s")
+        if return_tokens:    # (tools/eval_quality.py: token-level parity)
+            return out, token_lists
         return out
 
     # ------------------------------------------------------------------

@@ -248,8 +248,10 @@ class Attention(nn.Module):
         Verify mode (frozen_k given, ring_base [B] given): multi-query
         speculative-decode verify — T fed tokens per lane attend
         frozen[0:frozen_len[b]] + ring[0:ring_base[b]] (committed chunk
-        entries) + a causal self-block; the block K/V is written into the
-        ring at per-lane offsets ring_base[b] + t.  Packed frozen only.
+        entries) + a causal self-block; the block K/V is RETURNED (the ring
+        is read-only here — the engine performs the single per-cycle ring
+        insert for the committed prefix, _verify_packed's docstring and
+        engine._ring_insert).  Packed frozen only.
         """
         cfg = self.cfg
         d = cfg.head_dim

@@ -21,6 +21,11 @@ from ..config import MeshConfig, T3ModelConfig
 
 
 def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
+    """(dp, sp, tp) device mesh.  Multi-host (cfg.dcn_dp > 1): the dp axis
+    is laid DCN-major — devices are grouped by process so each host's local
+    devices form contiguous (dp_local, sp, tp) blocks and every tp/sp
+    collective rides ICI; only dp-axis collectives (gradient all-reduce in
+    training, the replicated slot-state in serving) cross DCN."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     dp, sp, tp = cfg.dp, getattr(cfg, "sp", 1), cfg.tp
@@ -31,6 +36,22 @@ def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
         while n % tp:
             tp -= 1
         dp = n // tp
+    dcn = getattr(cfg, "dcn_dp", 1) or 1
+    if dcn > 1:
+        if dp % dcn:
+            raise ValueError(f"dp={dp} not divisible by dcn_dp={dcn}")
+        by_proc = {}
+        for d in devices:
+            by_proc.setdefault(d.process_index, []).append(d)
+        procs = sorted(by_proc)
+        if len(procs) != dcn:
+            raise ValueError(
+                f"dcn_dp={dcn} but devices span {len(procs)} processes")
+        arr = np.stack([
+            np.asarray(sorted(by_proc[p], key=lambda d: d.id))
+            .reshape(dp // dcn, sp, tp) for p in procs
+        ]).reshape(dp, sp, tp)
+        return Mesh(arr, cfg.axis_names)
     arr = np.asarray(devices).reshape(dp, sp, tp)
     return Mesh(arr, cfg.axis_names)
 

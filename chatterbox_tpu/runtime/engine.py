@@ -201,9 +201,21 @@ class T3Engine:
             self._decode_chunk_impl,
             static_argnames=("n_steps", "s_active", "needs_top_p"),
             donate_argnames=("st",))
+        self._pool_chunk = jax.jit(
+            self._pool_chunk_impl,
+            static_argnames=("n_steps", "s_active", "needs_top_p"),
+            donate_argnames=("st",))
+        self._merge_pool = jax.jit(self._merge_pool_impl,
+                                   donate_argnames=("frozen",))
+        self._pool_dispatches = 0     # diagnostic: age-grouped splits taken
         self._merge = jax.jit(self._merge_impl, donate_argnames=("frozen",))
-        self._grow = jax.jit(self._grow_impl, static_argnames=("new_s",),
-                             donate_argnames=("cache",))
+        # NB: _grow must NOT donate: its output shapes differ from the
+        # inputs (concat along positions), so a donated cache can never be
+        # aliased — XLA just warns "Some donated buffers were not usable"
+        # on every growth step (the BENCH_r03 tail; VERDICT r3 item 7) and
+        # copies anyway.  The concat copy is inherent to growth and paid
+        # once per coarse alloc level.
+        self._grow = jax.jit(self._grow_impl, static_argnames=("new_s",))
 
         if eng.spec_decode:
             # Speculative multi-token decode (docs/PERF.md): layer-skip
@@ -379,19 +391,46 @@ class T3Engine:
         return new_cache, st
 
     def _alloc_bucket(self, pos: int) -> int:
-        # constant 96-step bucket grid: finer buckets cut the dominant
-        # frozen-cache attention read (decode cost scales with s_active).
-        # This was ~S/6, which at max_model_len 1200 coarsened to 200-wide
-        # buckets — every decode step over-read up to 200 positions per
-        # lane on the parity bench.  The persistent XLA compile cache keeps
-        # the extra per-bucket compiles a one-time cost (precompile logs
-        # per-bucket progress so outage watchdogs see liveness).
+        """Cache ALLOCATION levels are coarse (~2x ladder), distinct from
+        the fine 96-grid s_active buckets (_s_bucket): every jit that takes
+        the cache keys on its allocated shape, so each distinct allocation
+        multiplies the compile surface by the number of s_active buckets
+        below it.  A doubling ladder caps the live (alloc, s_active) pair
+        count at O(log S · S/96) and lets precompile() enumerate every pair
+        serving can hit (round-3 shipped a 96-grid allocation too, whose
+        (grown-alloc, smaller-s_active) pairs were compiled lazily mid-
+        request — advisor finding r3#1).  Lazy growth itself stays: it
+        measured +~2% on the bench and defers the multi-GB cache to first
+        use."""
+        for level in self._alloc_levels:
+            if pos <= level:
+                return level
+        return self._alloc_levels[-1]
+
+    @property
+    def _alloc_levels(self):
+        # 192, 384, 768, ... capped at S (always includes S itself)
+        levels = []
+        l = 192
+        while l < self.S:
+            levels.append(l)
+            l *= 2
+        levels.append(self.S)
+        return levels
+
+    def _s_grid(self, hi: int):
+        """The fine s_active buckets up to hi (96-step grid, capped at S)."""
         step = 96
-        return max(step, min(self.S, -(-pos // step) * step))
+        return sorted({max(step, min(self.S, k * step))
+                       for k in range(1, -(-hi // step) + 1)})
 
     def _s_bucket(self, pos: int) -> int:
-        # the attention window can never exceed the allocated cache length
-        return min(self._alloc_bucket(pos), self._s_alloc)
+        # fine 96-grid attention window (decode cost scales with s_active;
+        # a coarser grid over-reads the frozen cache every step), capped at
+        # the allocated cache length
+        step = 96
+        fine = max(step, min(self.S, -(-pos // step) * step))
+        return min(fine, self._s_alloc)
 
     def _ensure_capacity(self, needed: int):
         """Grow the slot cache to the bucket covering ``needed`` positions
@@ -423,32 +462,54 @@ class T3Engine:
                 v_scale=jnp.concatenate([cache.v_scale, zs], axis=3))
         return KVCache(k=k, v=v)
 
-    def precompile(self, needs_top_p: bool = True, verbose: bool = False):
-        """Compile the decode dispatch for every s_active bucket up front so
-        steady-state serving never hits a compile."""
-        step = 96
-        buckets = sorted({self._alloc_bucket(p)
-                          for p in range(step, self.S + step, step)})
+    def precompile(self, needs_top_p: bool = True, verbose: bool = False,
+                   workload_max_pos: Optional[int] = None):
+        """Compile the decode dispatch for every (alloc level, s_active
+        bucket) pair serving can hit, so steady-state serving never takes a
+        compile: each jit keys on the ALLOCATED cache shape as well as the
+        static s_active, so a grown allocation needs its own compiles for
+        every smaller window too (advisor finding r3#1 — the old loop only
+        compiled the diagonal alloc == s_active pairs).
+
+        ``workload_max_pos`` bounds the covered position range (e.g. the
+        max prompt+cap of a known benchmark workload); default = the full
+        max_model_len, which is the right call for an open-ended server."""
         eng = self.eng
-        for s_active in buckets:
-            if verbose:
-                import sys
-                print(f"[engine] precompile s_active={s_active}",
-                      file=sys.stderr, flush=True)
-            self._ensure_capacity(s_active)
-            if eng.spec_decode:
-                n_cycles = max(1, eng.decode_chunk // (eng.spec_tokens + 1))
-                ring, g0, self.state = self._spec_chunk(
-                    self.params, self.draft_params, self.cache, self.state,
-                    n_cycles=n_cycles, s_active=s_active,
-                    needs_top_p=needs_top_p)
-            else:
-                ring, g0, self.state = self._decode_chunk(
-                    self.params, self.cache, self.state,
-                    n_steps=eng.decode_chunk, s_active=s_active,
-                    needs_top_p=needs_top_p)
-            self.cache = self._merge(self.cache, ring, g0,
-                                     self.state.global_pos - g0)
+        hi = min(workload_max_pos or self.S, self.S)
+        for level in self._alloc_levels:
+            if level > self._alloc_bucket(hi):
+                break
+            self._ensure_capacity(level)
+            for s_active in self._s_grid(min(level, hi)):
+                if verbose:
+                    import sys
+                    print(f"[engine] precompile alloc={level} "
+                          f"s_active={s_active}", file=sys.stderr, flush=True)
+                if eng.spec_decode:
+                    n_cycles = max(1,
+                                   eng.decode_chunk // (eng.spec_tokens + 1))
+                    ring, g0, self.state = self._spec_chunk(
+                        self.params, self.draft_params, self.cache,
+                        self.state, n_cycles=n_cycles, s_active=s_active,
+                        needs_top_p=needs_top_p)
+                else:
+                    ring, g0, self.state = self._decode_chunk(
+                        self.params, self.cache, self.state,
+                        n_steps=eng.decode_chunk, s_active=s_active,
+                        needs_top_p=needs_top_p)
+                self.cache = self._merge(self.cache, ring, g0,
+                                         self.state.global_pos - g0)
+                if (eng.pool_split and self.mesh is None
+                        and not eng.spec_decode and self.B >= 2):
+                    ids = np.arange(self.B // 2, dtype=np.int32)
+                    ring, g0, n_new, self.state = self._pool_chunk(
+                        self.params, self.cache, self.state, ids,
+                        n_steps=eng.decode_chunk, s_active=s_active,
+                        needs_top_p=needs_top_p)
+                    lanes = np.stack([ids * 2, ids * 2 + 1],
+                                     axis=1).reshape(-1)
+                    self.cache = self._merge_pool(self.cache, ring, g0,
+                                                  n_new, lanes)
         self.reset()
 
     def _dispatch_decode(self, sched, needs_top_p: bool):
@@ -469,7 +530,10 @@ class T3Engine:
             return sum(self._dispatch_spec(sched, needs_top_p)
                        for _ in range(k))
         for _ in range(k):
-            s_active = self._s_bucket(max(sched.advance(eng.decode_chunk), 1))
+            upper = sched.advance(eng.decode_chunk)
+            if self._try_pool_dispatch(sched, needs_top_p):
+                continue
+            s_active = self._s_bucket(max(upper, 1))
             ring, g0, self.state = self._decode_chunk(
                 self.params, self.cache, self.state,
                 n_steps=eng.decode_chunk, s_active=s_active,
@@ -478,6 +542,46 @@ class T3Engine:
                                      self.state.global_pos - g0)
         return eng.decode_chunk * k
 
+    def _try_pool_dispatch(self, sched, needs_top_p: bool) -> bool:
+        """Age-grouped two-pool dispatch (VERDICT r3 item 1 / PERF round-4
+        queue 1): with a single s_active bucket, one long-lived lane pins
+        the attention window for all slots — the dominant frozen-cache read
+        (profile: ~4.6 ms/step of the ~10 ms step at s=576, essentially at
+        the HBM roofline) is then paid at max-position size by every lane.
+        When the live slots' position spread spans pool_margin+ of window,
+        split them at the median into two half-size pools and run each as
+        its own (chunk + merge) dispatch at its own bucket.  Only at full
+        occupancy (pools are exact halves: no padding rows, so no
+        duplicate-scatter hazard — cf. the round-3 admission bug) and only
+        off-mesh.  Greedy streams are bit-identical to the single dispatch
+        (attention masks by per-lane frozen_len; s_active only bounds the
+        read); sampled streams remain exactly distributed but the realized
+        rng draw differs (batch-shaped gumbel, like compact_tail)."""
+        eng = self.eng
+        if (not eng.pool_split or self.mesh is not None
+                or self.state.tokens.shape[0] != self.B):
+            return False
+        caps = sched.pos_caps()
+        if int((caps > 0).sum()) != self.B:
+            return False
+        order = np.argsort(caps, kind="stable")
+        low, high = order[: self.B // 2], order[self.B // 2:]
+        s_low = self._s_bucket(max(int(caps[low].max()), 1))
+        s_high = self._s_bucket(max(int(caps[high].max()), 1))
+        if s_high - s_low < eng.pool_margin:
+            return False
+        for ids, s_act in ((low, s_low), (high, s_high)):
+            ids = np.sort(ids).astype(np.int32)
+            ring, g0, n_new, self.state = self._pool_chunk(
+                self.params, self.cache, self.state, ids,
+                n_steps=eng.decode_chunk, s_active=s_act,
+                needs_top_p=needs_top_p)
+            lanes = np.stack([ids * 2, ids * 2 + 1], axis=1).reshape(-1)
+            self.cache = self._merge_pool(self.cache, ring, g0, n_new,
+                                          lanes)
+        self._pool_dispatches += 1
+        return True
+
     # ------------------------------------------------------------------
     # Decode path (frozen-prefix + chunk ring; see models/t3/backbone.py)
     # ------------------------------------------------------------------
@@ -485,7 +589,6 @@ class T3Engine:
                            n_steps: int, s_active: int,
                            needs_top_p: bool = True):
         B = st.tokens.shape[0]     # may be < self.B after tail compaction
-        max_out = st.out_buf.shape[1]
         g0 = st.global_pos                       # frozen length per slot
         ring = KVCache.zeros(self.cfg, 2 * B, n_steps,
                              self._ring_dtype)  # int8 ring carries scales
@@ -499,6 +602,69 @@ class T3Engine:
             else frozen.k_scale[:, :, :, :s_active],
             v_scale=None if frozen.v_scale is None
             else frozen.v_scale[:, :, :, :s_active])
+        ring, st = self._scan_steps(params, fro, ring, g0, st, n_steps,
+                                    needs_top_p)
+        return ring, g0, st
+
+    def _pool_chunk_impl(self, params, frozen: KVCache, st: SlotState,
+                         slot_ids, *, n_steps: int, s_active: int,
+                         needs_top_p: bool = True):
+        """Decode chunk over a SUBSET of slots (age-grouped pool): gather
+        the pool's cache lanes + state rows, run the same step scan at the
+        pool's own s_active window, scatter the state back.  The lane
+        gather is loop-invariant, so XLA hoists one windowed copy of the
+        pool's frozen cache out of the scan (~1 chunk's worth of one step's
+        attention read, amortized over n_steps).  slot_ids must be unique
+        (the dispatch policy only splits at full occupancy, so pools are
+        exact halves — no padding, no duplicate scatter hazard)."""
+        Bp = slot_ids.shape[0]
+        lanes = jnp.stack([slot_ids * 2, slot_ids * 2 + 1],
+                          axis=1).reshape(-1)
+        fro = KVCache(
+            k=frozen.k[:, lanes, :s_active],
+            v=frozen.v[:, lanes, :s_active],
+            k_scale=None if frozen.k_scale is None
+            else frozen.k_scale[:, lanes, :, :s_active],
+            v_scale=None if frozen.v_scale is None
+            else frozen.v_scale[:, lanes, :, :s_active])
+        sub = SlotState(
+            tokens=st.tokens[slot_ids],
+            n_generated=st.n_generated[slot_ids],
+            global_pos=st.global_pos[slot_ids],
+            done=st.done[slot_ids],
+            active=st.active[slot_ids],
+            max_new=st.max_new[slot_ids],
+            out_buf=st.out_buf[slot_ids],
+            cfg_scale=st.cfg_scale[slot_ids],
+            align_pos=st.align_pos[slot_ids],
+            align_stall=st.align_stall[slot_ids],
+            text_len=st.text_len[slot_ids],
+            params=SamplingParams(*(a[slot_ids] for a in st.params)),
+            sampler=SamplerState(seen=st.sampler.seen[slot_ids],
+                                 rng=st.sampler.rng))
+        g0 = sub.global_pos
+        ring = KVCache.zeros(self.cfg, 2 * Bp, n_steps, self._ring_dtype)
+        ring, sub = self._scan_steps(params, fro, ring, g0, sub, n_steps,
+                                     needs_top_p)
+        st = st._replace(
+            tokens=st.tokens.at[slot_ids].set(sub.tokens),
+            n_generated=st.n_generated.at[slot_ids].set(sub.n_generated),
+            global_pos=st.global_pos.at[slot_ids].set(sub.global_pos),
+            done=st.done.at[slot_ids].set(sub.done),
+            out_buf=st.out_buf.at[slot_ids].set(sub.out_buf),
+            align_pos=st.align_pos.at[slot_ids].set(sub.align_pos),
+            align_stall=st.align_stall.at[slot_ids].set(sub.align_stall),
+            sampler=SamplerState(
+                seen=st.sampler.seen.at[slot_ids].set(sub.sampler.seen),
+                rng=sub.sampler.rng))
+        return ring, g0, sub.global_pos - g0, st
+
+    def _scan_steps(self, params, fro: KVCache, ring: KVCache, g0,
+                    st: SlotState, n_steps: int, needs_top_p: bool):
+        """lax.scan of n_steps single-token decode steps over whatever batch
+        ``st`` carries (full B, a compacted tail batch, or an age pool)."""
+        B = st.tokens.shape[0]
+        max_out = st.out_buf.shape[1]
 
         def step(carry, c):
             ring, st = carry
@@ -573,7 +739,7 @@ class T3Engine:
             return (new_ring, new_st), None
 
         (ring, st), _ = jax.lax.scan(step, (ring, st), jnp.arange(n_steps))
-        return ring, g0, st
+        return ring, st
 
     # ------------------------------------------------------------------
     # Speculative multi-token decode (docs/PERF.md "Speculative multi-token
@@ -882,28 +1048,7 @@ class T3Engine:
         per-lane window stays within one dp shard, so no collectives)."""
         g0_l = jnp.repeat(g0, 2)
         n_l = jnp.repeat(n_new, 2)
-        # ring (head-major) -> packed rows [L, B2, C, H*D'] + scales [L,B2,H,C]
-        if frozen.quantized and ring.quantized:
-            if self._kv_bits == 8:     # int8 ring slots straight in
-                rkq, rks = pack_heads(ring.k), ring.k_scale
-                rvq, rvs = pack_heads(ring.v), ring.v_scale
-            else:                       # int4 frozen: repack the int8 ring
-                kf = ring.k.astype(jnp.float32) * \
-                    ring.k_scale[..., None].astype(jnp.float32)
-                vf = ring.v.astype(jnp.float32) * \
-                    ring.v_scale[..., None].astype(jnp.float32)
-                rkq, rks = quantize_kv_packed(kf, 4)
-                rvq, rvs = quantize_kv_packed(vf, 4)
-            rks = rks.astype(frozen.k_scale.dtype)
-            rvs = rvs.astype(frozen.v_scale.dtype)
-        elif frozen.quantized:
-            rkq, rks = quantize_kv_packed(ring.k, self._kv_bits)
-            rvq, rvs = quantize_kv_packed(ring.v, self._kv_bits)
-            rks = rks.astype(frozen.k_scale.dtype)
-            rvs = rvs.astype(frozen.v_scale.dtype)
-        else:
-            rkq, rvq = pack_heads(ring.k), pack_heads(ring.v)
-            rks = rvs = None
+        rkq, rks, rvq, rvs = self._pack_ring(frozen, ring)
 
         if self.mesh is None:
             return self._merge_windowed(frozen, rkq, rks, rvq, rvs,
@@ -942,9 +1087,48 @@ class T3Engine:
         )(frozen.k, frozen.v, rkq, rvq, g0_l, n_l)
         return KVCache(k=fk, v=fv)
 
-    def _merge_windowed(self, frozen: KVCache, rkq, rks, rvq, rvs, g0_l, n_l):
+    def _merge_pool_impl(self, frozen: KVCache, ring: KVCache, g0, n_new,
+                         lane_ids):
+        """Pool merge: ring lanes [0, 2Bp) land in frozen lanes
+        lane_ids[j] (traced indices — one merge jit per (alloc, C) serves
+        every pool composition)."""
+        rkq, rks, rvq, rvs = self._pack_ring(frozen, ring)
+        return self._merge_windowed(frozen, rkq, rks, rvq, rvs,
+                                    jnp.repeat(g0, 2), jnp.repeat(n_new, 2),
+                                    lane_ids=lane_ids)
+
+    def _pack_ring(self, frozen: KVCache, ring: KVCache):
+        """Ring (head-major) -> packed rows [L, B2, C, H*D'] + scales
+        [L, B2, H, C] in the frozen cache's quantization."""
+        if frozen.quantized and ring.quantized:
+            if self._kv_bits == 8:     # int8 ring slots straight in
+                rkq, rks = pack_heads(ring.k), ring.k_scale
+                rvq, rvs = pack_heads(ring.v), ring.v_scale
+            else:                       # int4 frozen: repack the int8 ring
+                kf = ring.k.astype(jnp.float32) * \
+                    ring.k_scale[..., None].astype(jnp.float32)
+                vf = ring.v.astype(jnp.float32) * \
+                    ring.v_scale[..., None].astype(jnp.float32)
+                rkq, rks = quantize_kv_packed(kf, 4)
+                rvq, rvs = quantize_kv_packed(vf, 4)
+            rks = rks.astype(frozen.k_scale.dtype)
+            rvs = rvs.astype(frozen.v_scale.dtype)
+        elif frozen.quantized:
+            rkq, rks = quantize_kv_packed(ring.k, self._kv_bits)
+            rvq, rvs = quantize_kv_packed(ring.v, self._kv_bits)
+            rks = rks.astype(frozen.k_scale.dtype)
+            rvs = rvs.astype(frozen.v_scale.dtype)
+        else:
+            rkq, rvq = pack_heads(ring.k), pack_heads(ring.v)
+            rks = rvs = None
+        return rkq, rks, rvq, rvs
+
+    def _merge_windowed(self, frozen: KVCache, rkq, rks, rvq, rvs, g0_l, n_l,
+                        lane_ids=None):
         """Per-lane C-wide windowed DUS merge; shapes may be global or
-        shard-local (everything is read off the arrays)."""
+        shard-local (everything is read off the arrays).  ``lane_ids``
+        (pool merge) maps ring lane j -> frozen lane lane_ids[j]; default
+        identity."""
         C = rkq.shape[2]
         L, B2, S, HD = frozen.k.shape
         H = frozen.k_scale.shape[2] if frozen.quantized else None
@@ -952,24 +1136,26 @@ class T3Engine:
         cm4s = jnp.arange(C)[None, None, None, :]     # scales, axis 3
         fk, fv = frozen.k, frozen.v
         ks, vs = frozen.k_scale, frozen.v_scale
-        for b in range(B2):
-            off = jnp.minimum(g0_l[b], S - C)
-            rel0 = g0_l[b] - off          # >0 only when g0 near cache end
+        n_ring_lanes = rkq.shape[1]
+        for j in range(n_ring_lanes):
+            b = j if lane_ids is None else lane_ids[j]
+            off = jnp.minimum(g0_l[j], S - C)
+            rel0 = g0_l[j] - off          # >0 only when g0 near cache end
             src = jnp.clip(jnp.arange(C) - rel0, 0, C - 1)
-            keep4v = (cm4v >= rel0) & (cm4v < rel0 + n_l[b])
-            keep4s = (cm4s >= rel0) & (cm4s < rel0 + n_l[b])
+            keep4v = (cm4v >= rel0) & (cm4v < rel0 + n_l[j])
+            keep4s = (cm4s >= rel0) & (cm4s < rel0 + n_l[j])
 
             def upd(fro, u):
                 old = jax.lax.dynamic_slice(
                     fro, (0, b, off, 0), (L, 1, C, fro.shape[3]))
-                un = jnp.take(u[:, b][:, None], src, axis=2)
+                un = jnp.take(u[:, j][:, None], src, axis=2)
                 new = jnp.where(keep4v, un.astype(fro.dtype), old)
                 return jax.lax.dynamic_update_slice(fro, new, (0, b, off, 0))
 
             def upd_s(fro, u):
                 old = jax.lax.dynamic_slice(
                     fro, (0, b, 0, off), (L, 1, H, C))
-                un = jnp.take(u[:, b][:, None], src, axis=3)
+                un = jnp.take(u[:, j][:, None], src, axis=3)
                 new = jnp.where(keep4s, un.astype(fro.dtype), old)
                 return jax.lax.dynamic_update_slice(fro, new, (0, b, 0, off))
 

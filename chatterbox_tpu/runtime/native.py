@@ -25,9 +25,10 @@ def _load_lib():
         return _lib
     _lib_tried = True
     try:
-        if not _LIB_PATH.exists():
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True)
+        # always invoke make: it is an mtime-checked no-op when fresh, and
+        # a stale prebuilt .so (missing newer symbols) must be rebuilt
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True)
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.sched_create.restype = ctypes.c_void_p
         lib.sched_create.argtypes = [ctypes.c_int32, ctypes.c_int32]
@@ -52,6 +53,11 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int32]
         lib.sched_harvest.restype = ctypes.c_int32
+        try:
+            lib.sched_pos_caps.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(ctypes.c_int32)]
+        except AttributeError:      # stale .so without the symbol
+            pass
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain-dependent
         print(f"[native] falling back to python scheduler ({e})")
@@ -134,6 +140,17 @@ class NativeScheduler:
                                        self._pos_cap[i] + n_steps)
                 upper = max(upper, self._pos_cap[i])
         return upper
+
+    def pos_caps(self) -> np.ndarray:
+        """Per-slot position upper bounds ([n_slots] int32; 0 = free slot).
+        Feeds the engine's age-grouped pool split."""
+        if self._lib is not None:
+            caps = (ctypes.c_int32 * self.n_slots)()
+            self._lib.sched_pos_caps(self._h, caps)
+            return np.asarray(caps[:], np.int32)
+        return np.asarray(
+            [c if s is not None else 0
+             for s, c in zip(self._slots, self._pos_cap)], np.int32)
 
     def harvest(self, done_flags: np.ndarray):
         """Free slots flagged done; returns (slots, uids)."""

@@ -124,6 +124,15 @@ int32_t sched_advance(void* h, int32_t n_steps) {
   return upper;
 }
 
+// Per-slot position upper bounds (0 for free slots) — the engine's pool
+// scheduler groups slots by these so fresh lanes don't pay the attention
+// window of long-lived ones (age-grouped s_active; docs/PERF.md round-4).
+void sched_pos_caps(void* h, int32_t* out_caps) {
+  auto* s = static_cast<Scheduler*>(h);
+  for (int32_t i = 0; i < s->n_slots; ++i)
+    out_caps[i] = s->slots[i].active ? s->slots[i].pos_cap : 0;
+}
+
 // Free finished slots (done_flags: one byte per slot).  Fills the freed
 // slots/uids; returns the count.
 int32_t sched_harvest(void* h, const uint8_t* done_flags, int32_t* out_slots,

@@ -426,3 +426,43 @@ def test_lazy_cache_growth(setup):
     r3 = e3.generate(short)
     for a, b in zip(r_short, r3):
         np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_pool_split_matches_single_dispatch():
+    """Age-grouped two-pool dispatch (pool_split): greedy token streams are
+    bit-identical to the single full-batch dispatch, and the split actually
+    engages on a position-skewed full-occupancy workload."""
+    cfg = T3ModelConfig.tiny()
+    model = T3Model(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda r: model.init(
+        r, jax.random.normal(r, (1, cfg.speaker_embed_size)),
+        jax.random.randint(r, (1, 6), 0, cfg.start_speech_token),
+        0.5 * jnp.ones((1, 1)),
+        jax.random.randint(r, (1, 8), 0, cfg.text_vocab_size),
+        jnp.full((1,), 8, jnp.int32),
+        method=lambda m, *a: m.init_all(*a)))(rng)
+    # S large enough for a >= pool_margin bucketed spread (96 vs 384+)
+    mk = lambda **kw: EngineConfig(
+        max_batch_size=4, max_model_len=576, decode_chunk=8,
+        prefill_buckets=(8, 16, 320), tokens_max=400, kv_dtype="int8",
+        pool_margin=192, **kw)
+    rngs = jax.random.split(jax.random.PRNGKey(3), 4)
+    # two old/long lanes (long prompts + big caps -> high pos_cap), two
+    # young/short lanes; all admitted together = full occupancy
+    reqs = [mk_req(cfg, rngs[0], 300, max_new=200, temperature=0.0, uid=0),
+            mk_req(cfg, rngs[1], 280, max_new=180, temperature=0.0, uid=1),
+            mk_req(cfg, rngs[2], 4, max_new=60, temperature=0.0, uid=2),
+            mk_req(cfg, rngs[3], 6, max_new=60, temperature=0.0, uid=3)]
+
+    e_pool = T3Engine(model, params, cfg, mk(pool_split=True),
+                      rng=jax.random.PRNGKey(7))
+    r_pool = e_pool.generate(reqs)
+    assert e_pool._pool_dispatches > 0, "split never engaged"
+
+    e_full = T3Engine(model, params, cfg, mk(pool_split=False),
+                      rng=jax.random.PRNGKey(7))
+    r_full = e_full.generate(reqs)
+    for a, b in zip(r_pool, r_full):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+        assert a.finished_by_stop == b.finished_by_stop
