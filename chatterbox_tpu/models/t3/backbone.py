@@ -130,16 +130,18 @@ class KVCache:
 
 
 def _kv_flatten(c: KVCache):
-    if c.k_scale is None:
-        return (c.k, c.v), False
-    return (c.k, c.v, c.k_scale, c.v_scale), True
+    # Always four children: a missing scale is a None CHILD (an empty
+    # subtree), never aux data.  Deriving the child count from
+    # ``k_scale is None`` made the structure depend on leaf values, which
+    # breaks pytree-prefix machinery that maps leaves to None (e.g. jit's
+    # internal out_layouts tree derived from out_shardings: the mapped
+    # KVCache re-flattened with FEWER children and failed prefix matching).
+    return (c.k, c.v, c.k_scale, c.v_scale), None
 
 
-def _kv_unflatten(quant, leaves):
-    if quant:
-        return KVCache(k=leaves[0], v=leaves[1], k_scale=leaves[2],
-                       v_scale=leaves[3])
-    return KVCache(k=leaves[0], v=leaves[1])
+def _kv_unflatten(_, leaves):
+    return KVCache(k=leaves[0], v=leaves[1], k_scale=leaves[2],
+                   v_scale=leaves[3])
 
 
 jax.tree_util.register_pytree_node(KVCache, _kv_flatten, _kv_unflatten)

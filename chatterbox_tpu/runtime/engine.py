@@ -159,13 +159,25 @@ class T3Engine:
         eng, self.rtt_ms = apply_rtt_policy(eng)
         self.eng = eng
         self.mesh = mesh
+        # multi-host: mesh devices span >1 process (jax.distributed SPMD) —
+        # all host->device hand-offs must then go through jit/out_shardings
+        # with identical per-process host values, and every host-fetched
+        # array must be fully replicated (parallel/distributed.py)
+        self._multiproc = mesh is not None and len(
+            {d.process_index for d in mesh.devices.flat}) > 1
         if mesh is not None:
             from jax.sharding import NamedSharding
             from ..parallel.sharding import t3_param_spec
             spec = t3_param_spec(cfg)
-            params = jax.tree.map(
-                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-                params, spec)
+            shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec)
+            if self._multiproc:
+                # host-local (identical) param values -> global arrays via a
+                # jitted identity; plain device_put cannot place a local
+                # array onto a sharding spanning other processes
+                params = jax.tree.map(np.asarray, params)
+                params = jax.jit(lambda t: t, out_shardings=shardings)(params)
+            else:
+                params = jax.tree.map(jax.device_put, params, shardings)
         self.params = params
         self.B = eng.max_batch_size
         self.S = eng.max_model_len
@@ -258,40 +270,90 @@ class T3Engine:
         # bucketed realloc-and-copy, paid once per growth step.
         self._s_alloc = (S if self.mesh is not None
                          else self._alloc_bucket(1))
-        self.cache = KVCache.zeros(cfgm, 2 * B, self._s_alloc,
-                                   self._kv_dtype,
-                                   bits=self._kv_bits, packed=True)
         if self.mesh is not None:
+            # create the cache INSIDE a jit with explicit out_shardings:
+            # correct global arrays on a mesh that may span processes
+            # (eager zeros + device_put only works single-process)
             from jax.sharding import NamedSharding
             from ..parallel.sharding import kv_cache_spec
-            vspec, sspec = kv_cache_spec(self.cache.quantized)
-            put = lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s))
-            self.cache = KVCache(
-                k=put(self.cache.k, vspec), v=put(self.cache.v, vspec),
-                k_scale=None if self.cache.k_scale is None
-                else put(self.cache.k_scale, sspec),
-                v_scale=None if self.cache.v_scale is None
-                else put(self.cache.v_scale, sspec))
+            quant = self._kv_dtype == jnp.int8
+            vspec, sspec = kv_cache_spec(quant)
+            mk = lambda s: NamedSharding(self.mesh, s)
+            specs = KVCache(k=mk(vspec), v=mk(vspec),
+                            k_scale=mk(sspec) if quant else None,
+                            v_scale=mk(sspec) if quant else None)
+            self.cache = jax.jit(
+                lambda: KVCache.zeros(cfgm, 2 * B, self._s_alloc,
+                                      self._kv_dtype, bits=self._kv_bits,
+                                      packed=True),
+                out_shardings=specs)()
+        else:
+            self.cache = KVCache.zeros(cfgm, 2 * B, self._s_alloc,
+                                       self._kv_dtype,
+                                       bits=self._kv_bits, packed=True)
         self.rng, sub = jax.random.split(self.rng)
-        self.state = SlotState(
-            tokens=jnp.zeros((B,), jnp.int32),
-            n_generated=jnp.zeros((B,), jnp.int32),
-            global_pos=jnp.zeros((B,), jnp.int32),
-            done=jnp.ones((B,), bool),
-            active=jnp.zeros((B,), bool),
-            max_new=jnp.zeros((B,), jnp.int32),
-            out_buf=jnp.zeros((B, self.max_out), jnp.int32),
-            cfg_scale=jnp.zeros((B,), jnp.float32),
-            align_pos=jnp.full((B,), -1, jnp.int32),
-            align_stall=jnp.zeros((B,), jnp.int32),
-            text_len=jnp.zeros((B,), jnp.int32),
-            params=SamplingParams.full(B),
-            sampler=SamplerState.init(B, cfgm.speech_vocab_size, sub),
-        )
+
+        def init_state(sub_rng):
+            return SlotState(
+                tokens=jnp.zeros((B,), jnp.int32),
+                n_generated=jnp.zeros((B,), jnp.int32),
+                global_pos=jnp.zeros((B,), jnp.int32),
+                done=jnp.ones((B,), bool),
+                active=jnp.zeros((B,), bool),
+                max_new=jnp.zeros((B,), jnp.int32),
+                out_buf=jnp.zeros((B, self.max_out), jnp.int32),
+                cfg_scale=jnp.zeros((B,), jnp.float32),
+                align_pos=jnp.full((B,), -1, jnp.int32),
+                align_stall=jnp.zeros((B,), jnp.int32),
+                text_len=jnp.zeros((B,), jnp.int32),
+                params=SamplingParams.full(B),
+                sampler=SamplerState.init(B, cfgm.speech_vocab_size,
+                                          sub_rng),
+            )
+        if self.mesh is not None:
+            # replicated global slot state: every host can fetch flags /
+            # out_buf locally (the only cross-DCN serving traffic is this
+            # tiny replicated state inside the decode jits)
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            self.state = jax.jit(
+                init_state,
+                out_shardings=jax.tree.map(lambda _: rep,
+                                           jax.eval_shape(init_state, sub)),
+            )(np.asarray(sub))
+        else:
+            self.state = init_state(sub)
 
     # ------------------------------------------------------------------
     # Prefill path
     # ------------------------------------------------------------------
+    def _rep(self, tree):
+        """Constrain a pytree to fully-replicated on the mesh (no-op
+        off-mesh).  Applied to every jit output the host loop fetches
+        (slot state), so multi-host SPMD serving can read flags/out_buf
+        from the local shard on every process."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, rep), tree)
+
+    def _kv_constrain(self, cache: KVCache) -> KVCache:
+        """Constrain a cache pytree to the canonical KV sharding (lanes on
+        dp, packed head dim on tp); no-op off-mesh."""
+        if self.mesh is None:
+            return cache
+        from jax.sharding import NamedSharding
+        from ..parallel.sharding import kv_cache_spec
+        vspec, sspec = kv_cache_spec(cache.quantized)
+        c = lambda x, s: (None if x is None else
+                          jax.lax.with_sharding_constraint(
+                              x, NamedSharding(self.mesh, s)))
+        return KVCache(k=c(cache.k, vspec), v=c(cache.v, vspec),
+                       k_scale=c(cache.k_scale, sspec),
+                       v_scale=c(cache.v_scale, sspec))
+
     def _prefill_fn(self, m: int, text_bucket: int):
         """Single-dispatch admission: prefill + allow-mask + first-token
         sampling + cache/state insert in ONE jit (each eager op between jits
@@ -388,7 +450,7 @@ class T3Engine:
                 rng=first_rng,
             ),
         )
-        return new_cache, st
+        return self._kv_constrain(new_cache), self._rep(st)
 
     def _alloc_bucket(self, pos: int) -> int:
         """Cache ALLOCATION levels are coarse (~2x ladder), distinct from
@@ -559,11 +621,14 @@ class T3Engine:
         rng draw differs (batch-shaped gumbel, like compact_tail)."""
         eng = self.eng
         if (not eng.pool_split or self.mesh is not None
-                or self.state.tokens.shape[0] != self.B):
+                or self.state.tokens.shape[0] != self.B or self.B < 2):
             return False
+        # Partition ALL slots by position cap (free slots report cap 0 and
+        # sort into the low pool, where they are masked like any dead lane)
+        # — a partition of range(B) can never carry duplicate slot ids, so
+        # there is no padding and no duplicate-scatter hazard at ANY
+        # occupancy.
         caps = sched.pos_caps()
-        if int((caps > 0).sum()) != self.B:
-            return False
         order = np.argsort(caps, kind="stable")
         low, high = order[: self.B // 2], order[self.B // 2:]
         s_low = self._s_bucket(max(int(caps[low].max()), 1))
@@ -604,7 +669,7 @@ class T3Engine:
             else frozen.v_scale[:, :, :, :s_active])
         ring, st = self._scan_steps(params, fro, ring, g0, st, n_steps,
                                     needs_top_p)
-        return ring, g0, st
+        return ring, g0, self._rep(st)
 
     def _pool_chunk_impl(self, params, frozen: KVCache, st: SlotState,
                          slot_ids, *, n_steps: int, s_active: int,
@@ -1398,15 +1463,18 @@ class T3Engine:
         # scatter writes carry identical payloads, so order is irrelevant
         reqs_p = reqs + [reqs[0]] * (m_bucket - m)
         slots_p = list(slots) + [slots[0]] * (m_bucket - m)
-        arr = lambda g, dt: jnp.asarray([g(r) for r in reqs_p], dt)
+        # host inputs stay numpy (process-uncommitted): under a multi-host
+        # mesh the jit treats them as replicated global values, which is
+        # exactly the SPMD contract (every process admits the same wave)
+        arr = lambda g, dt: np.asarray([g(r) for r in reqs_p], dt)
         self.rng, sub = jax.random.split(self.rng)
         fn = self._prefill_fn(m_bucket, text_bucket)
         row_src = np.concatenate([np.arange(m), np.zeros(m_bucket - m, int)])
         self.cache, self.state = fn(
             self.params, self.cache, self.state,
-            jnp.asarray(slots_p, jnp.int32),
-            jnp.asarray(row_src, jnp.int32),
-            jnp.asarray(cond), jnp.asarray(text), jnp.asarray(tlen),
+            np.asarray(slots_p, np.int32),
+            np.asarray(row_src, np.int32),
+            np.asarray(cond), np.asarray(text), np.asarray(tlen),
             arr(lambda r: r.cfg_scale, jnp.float32),
             arr(lambda r: min(r.max_new_tokens, self.max_out,
                               self.S - len(r.text_ids) - self.cfg.cond_len - 1),
@@ -1415,7 +1483,7 @@ class T3Engine:
             arr(lambda r: r.top_p, jnp.float32),
             arr(lambda r: r.min_p, jnp.float32),
             arr(lambda r: r.repetition_penalty, jnp.float32),
-            sub)
+            np.asarray(sub))
 
 
 def nn_apply(model, params, fn):
