@@ -605,6 +605,15 @@ class Attention(nn.Module):
         pf = ef / denom
         pr = (er / denom).astype(x.dtype)
         ps = (es / denom).astype(x.dtype)
+        # Alignment stream per fed token (spec_decode x align_stop): the
+        # head-mean frozen-segment probabilities, exposed before the
+        # dequant-scale fold like the decode path.  The extra self/ring
+        # softmax terms only rescale each row's denominator, so the
+        # text-span argmax the engine takes is identical to the plain
+        # decode path's.  [B, T, S]
+        align = (jnp.mean(pf, axis=2).astype(jnp.float32)
+                 if cfg.align_enabled else
+                 jnp.zeros((B, T, 0), jnp.float32))
         if fv_scale is not None:
             pf = pf * fv_scale[:, kv_of][:, None].astype(jnp.float32)
         if ring_quant:
@@ -626,7 +635,7 @@ class Attention(nn.Module):
         # return the fed block's K/V (head-major); the engine writes the
         # committed prefix into the ring once per speculation cycle
         return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
-                kt, vt)
+                kt, vt, align)
 
 
 class MLP(nn.Module):
@@ -656,13 +665,13 @@ class LlamaBlock(nn.Module):
             kv_out = (kc, vc)
         elif ring_base is not None:
             fk, fv, fks, fvs, rk, rv, rks, rvs = layer_kv
-            out, bk, bv = attn(
+            out, bk, bv, align = attn(
                 attn_in, positions, valid_len, inv_freq,
                 frozen_k=fk, frozen_v=fv, frozen_len=valid_len,
                 ring_k=rk, ring_v=rv, ring_idx=None,
                 frozen_k_scale=fks, frozen_v_scale=fvs,
                 ring_k_scale=rks, ring_v_scale=rvs, ring_base=ring_base)
-            kv_out = (bk, bv)
+            kv_out = (bk, bv, align)
         else:
             fk, fv, fks, fvs, rk, rv, rks, rvs = layer_kv
             out, nrk, nrv, nrks, nrvs, align = attn(
@@ -715,12 +724,12 @@ class LlamaBackbone(nn.Module):
             # ring is READ-ONLY in verify mode; the fed block's K/V comes
             # back stacked head-major [L, B, Hkv, T, D] for the engine to
             # commit into the ring once per speculation cycle
-            x, (bk, bv) = scan(cfg, name="layers")(
+            x, (bk, bv, align) = scan(cfg, name="layers")(
                 embeds, (frozen.k, frozen.v, frozen.k_scale, frozen.v_scale,
                          ring.k, ring.v, ring.k_scale, ring.v_scale),
                 positions, valid_len, inv_freq, None, ring_base)
             x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
-            return x, KVCache(k=bk, v=bv)
+            return x, KVCache(k=bk, v=bv), align
 
         x, (nrk, nrv, nrks, nrvs, align) = scan(cfg, name="layers")(
             embeds, (frozen.k, frozen.v, frozen.k_scale, frozen.v_scale,

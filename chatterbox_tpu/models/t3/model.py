@@ -207,13 +207,18 @@ class T3Model(nn.Module):
             jnp.arange(T)[None, :]
         flen2 = jnp.repeat(frozen_len, 2)
         base2 = jnp.repeat(ring_base, 2)
-        hidden, block_kv = self.backbone(
+        hidden, block_kv, align = self.backbone(
             x, positions, flen2, mode="verify",
             frozen=frozen, ring=ring, ring_base=base2)
         h = hidden.reshape(B, 2, T, -1)
         logits = self.speech_head(h).astype(jnp.float32)     # [B, 2, T, V]
         cond, uncond = logits[:, 0], logits[:, 1]
-        return cond + cfg_scale[:, None, None] * (cond - uncond), block_kv
+        combined = cond + cfg_scale[:, None, None] * (cond - uncond)
+        if self.cfg.align_enabled:
+            # cond-lane alignment attention of the align layer, per fed
+            # token ([B, T, S]) — drives align_stop in the spec commit loop
+            return combined, block_kv, align[self.cfg.align_layer, 0::2]
+        return combined, block_kv
 
     def training_forward(self, cond_emb, text_ids, speech_tokens, speech_len,
                          act_constraint=None):

@@ -127,3 +127,31 @@ def kv_cache_spec(quantized: bool = False):
 
 def batch_spec() -> P:
     return P("dp")
+
+
+def sharded_vocode_fn(s3gen, mesh: Mesh, n_timesteps: int = 10):
+    """Jitted S3Gen vocode with the batch axis sharded over the mesh's dp
+    axis (params replicated) — S3Gen is 82% of the reference's runtime
+    (README.md:152-153) and batch-parallel by construction, so data
+    parallelism over the vocode batch is the config-5 sharding
+    (BASELINE.json: "tensor-sharded T3 + S3Gen across a multi-host v5e
+    slice").  Every conv/attention inside flow+HiFT partitions trivially
+    along batch; XLA inserts no collectives beyond the output gather.
+
+    Returns fn(params, tokens, token_len, prompt_feat, prompt_feat_len,
+    embedding, noise, rngs) -> (wav, wav_len); the batch must divide the
+    dp axis size."""
+    data = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+
+    def fn(params, tokens, token_len, prompt_feat, prompt_feat_len,
+           embedding, noise, rngs):
+        args = (tokens, token_len, prompt_feat, prompt_feat_len,
+                embedding, noise, rngs)
+        args = tuple(jax.lax.with_sharding_constraint(a, data)
+                     for a in args)
+        return s3gen.apply(params, *args, n_timesteps=n_timesteps)
+
+    data7 = jax.tree.map(lambda _: data, tuple(range(7)))
+    return jax.jit(fn, in_shardings=(rep,) + data7,
+                   out_shardings=(data, data))

@@ -215,9 +215,11 @@ class T3Engine:
             donate_argnames=("st",))
         self._pool_chunk = jax.jit(
             self._pool_chunk_impl,
-            static_argnames=("n_steps", "s_active", "needs_top_p"),
+            static_argnames=("lo", "hi", "n_steps", "s_active",
+                            "needs_top_p"),
             donate_argnames=("st",))
         self._merge_pool = jax.jit(self._merge_pool_impl,
+                                   static_argnames=("lo",),
                                    donate_argnames=("frozen",))
         self._pool_dispatches = 0     # diagnostic: age-grouped splits taken
         self._merge = jax.jit(self._merge_impl, donate_argnames=("frozen",))
@@ -240,14 +242,16 @@ class T3Engine:
             if not (1 <= kd <= cfg.n_layers):
                 raise ValueError(f"spec_draft_layers must be in [1, "
                                  f"{cfg.n_layers}], got {kd}")
-            if self._align:
-                raise ValueError("spec_decode is incompatible with "
-                                 "align_stop (the verify pass does not "
-                                 "expose per-step alignment probabilities)")
             if mesh is not None:
                 raise ValueError("spec_decode + sharded serving not "
                                  "supported yet")
-            self.draft_model = T3Model(dataclasses.replace(cfg, n_layers=kd))
+            # draft skips the alignment stream (align_enabled=False): the
+            # verify pass drives align_stop per committed token, so the
+            # draft's only exposure is slightly lower acceptance near the
+            # text end (where verify suppresses/forces EOS and the draft
+            # may propose otherwise)
+            self.draft_model = T3Model(dataclasses.replace(
+                cfg, n_layers=kd, align_enabled=False))
             self.draft_params = _slice_layer_stack(self.params, kd)
             self._spec_chunk = jax.jit(
                 self._spec_chunk_impl,
@@ -563,15 +567,14 @@ class T3Engine:
                                          self.state.global_pos - g0)
                 if (eng.pool_split and self.mesh is None
                         and not eng.spec_decode and self.B >= 2):
-                    ids = np.arange(self.B // 2, dtype=np.int32)
-                    ring, g0, n_new, self.state = self._pool_chunk(
-                        self.params, self.cache, self.state, ids,
-                        n_steps=eng.decode_chunk, s_active=s_active,
-                        needs_top_p=needs_top_p)
-                    lanes = np.stack([ids * 2, ids * 2 + 1],
-                                     axis=1).reshape(-1)
-                    self.cache = self._merge_pool(self.cache, ring, g0,
-                                                  n_new, lanes)
+                    for lo, hi in ((0, self.B // 2),
+                                   (self.B // 2, self.B)):
+                        ring, g0, n_new, self.state = self._pool_chunk(
+                            self.params, self.cache, self.state, lo=lo,
+                            hi=hi, n_steps=eng.decode_chunk,
+                            s_active=s_active, needs_top_p=needs_top_p)
+                        self.cache = self._merge_pool(self.cache, ring,
+                                                      g0, n_new, lo=lo)
         self.reset()
 
     def _dispatch_decode(self, sched, needs_top_p: bool):
@@ -623,27 +626,24 @@ class T3Engine:
         if (not eng.pool_split or self.mesh is not None
                 or self.state.tokens.shape[0] != self.B or self.B < 2):
             return False
-        # Partition ALL slots by position cap (free slots report cap 0 and
-        # sort into the low pool, where they are masked like any dead lane)
-        # — a partition of range(B) can never carry duplicate slot ids, so
-        # there is no padding and no duplicate-scatter hazard at ANY
-        # occupancy.
+        # The halves are CONTIGUOUS slot ranges; the scheduler steers fresh
+        # admissions into the half with the lower max position, so the
+        # halves age as cohorts.  Split only when the halves' bucketed
+        # windows actually differ — otherwise one full dispatch is cheaper
+        # (a second dispatch re-reads the trunk weights, ~0.6 ms).
         caps = sched.pos_caps()
-        order = np.argsort(caps, kind="stable")
-        low, high = order[: self.B // 2], order[self.B // 2:]
-        s_low = self._s_bucket(max(int(caps[low].max()), 1))
-        s_high = self._s_bucket(max(int(caps[high].max()), 1))
-        if s_high - s_low < eng.pool_margin:
+        half = self.B // 2
+        s_a = self._s_bucket(max(int(caps[:half].max()), 1))
+        s_b = self._s_bucket(max(int(caps[half:].max()), 1))
+        if abs(s_a - s_b) < eng.pool_margin:
             return False
-        for ids, s_act in ((low, s_low), (high, s_high)):
-            ids = np.sort(ids).astype(np.int32)
+        for lo, hi, s_act in ((0, half, s_a), (half, self.B, s_b)):
             ring, g0, n_new, self.state = self._pool_chunk(
-                self.params, self.cache, self.state, ids,
+                self.params, self.cache, self.state, lo=lo, hi=hi,
                 n_steps=eng.decode_chunk, s_active=s_act,
                 needs_top_p=needs_top_p)
-            lanes = np.stack([ids * 2, ids * 2 + 1], axis=1).reshape(-1)
             self.cache = self._merge_pool(self.cache, ring, g0, n_new,
-                                          lanes)
+                                          lo=lo)
         self._pool_dispatches += 1
         return True
 
@@ -671,56 +671,57 @@ class T3Engine:
                                     needs_top_p)
         return ring, g0, self._rep(st)
 
-    def _pool_chunk_impl(self, params, frozen: KVCache, st: SlotState,
-                         slot_ids, *, n_steps: int, s_active: int,
+    def _pool_chunk_impl(self, params, frozen: KVCache, st: SlotState, *,
+                         lo: int, hi: int, n_steps: int, s_active: int,
                          needs_top_p: bool = True):
-        """Decode chunk over a SUBSET of slots (age-grouped pool): gather
-        the pool's cache lanes + state rows, run the same step scan at the
-        pool's own s_active window, scatter the state back.  The lane
-        gather is loop-invariant, so XLA hoists one windowed copy of the
-        pool's frozen cache out of the scan (~1 chunk's worth of one step's
-        attention read, amortized over n_steps).  slot_ids must be unique
-        (the dispatch policy only splits at full occupancy, so pools are
-        exact halves — no padding, no duplicate scatter hazard)."""
-        Bp = slot_ids.shape[0]
-        lanes = jnp.stack([slot_ids * 2, slot_ids * 2 + 1],
-                          axis=1).reshape(-1)
+        """Decode chunk over the CONTIGUOUS slot range [lo, hi) (age-cohort
+        pool): static slices of the cache lanes + state rows, the same step
+        scan at the pool's own s_active window, static-offset scatter-back.
+        Contiguity is the point — a first design gathered arbitrary slot
+        subsets and measured 0.92x end-to-end (the windowed lane gather +
+        traced-lane merges cost more than the saved window read); static
+        half-ranges make the pool read a zero-copy slice and keep the merge
+        on static lane indices, with the scheduler steering fresh
+        admissions into the younger half so the halves really are age
+        cohorts (native/scheduler.cc sched_admit)."""
+        lo2, hi2 = 2 * lo, 2 * hi
         fro = KVCache(
-            k=frozen.k[:, lanes, :s_active],
-            v=frozen.v[:, lanes, :s_active],
+            k=frozen.k[:, lo2:hi2, :s_active],
+            v=frozen.v[:, lo2:hi2, :s_active],
             k_scale=None if frozen.k_scale is None
-            else frozen.k_scale[:, lanes, :, :s_active],
+            else frozen.k_scale[:, lo2:hi2, :, :s_active],
             v_scale=None if frozen.v_scale is None
-            else frozen.v_scale[:, lanes, :, :s_active])
+            else frozen.v_scale[:, lo2:hi2, :, :s_active])
         sub = SlotState(
-            tokens=st.tokens[slot_ids],
-            n_generated=st.n_generated[slot_ids],
-            global_pos=st.global_pos[slot_ids],
-            done=st.done[slot_ids],
-            active=st.active[slot_ids],
-            max_new=st.max_new[slot_ids],
-            out_buf=st.out_buf[slot_ids],
-            cfg_scale=st.cfg_scale[slot_ids],
-            align_pos=st.align_pos[slot_ids],
-            align_stall=st.align_stall[slot_ids],
-            text_len=st.text_len[slot_ids],
-            params=SamplingParams(*(a[slot_ids] for a in st.params)),
-            sampler=SamplerState(seen=st.sampler.seen[slot_ids],
+            tokens=st.tokens[lo:hi],
+            n_generated=st.n_generated[lo:hi],
+            global_pos=st.global_pos[lo:hi],
+            done=st.done[lo:hi],
+            active=st.active[lo:hi],
+            max_new=st.max_new[lo:hi],
+            out_buf=st.out_buf[lo:hi],
+            cfg_scale=st.cfg_scale[lo:hi],
+            align_pos=st.align_pos[lo:hi],
+            align_stall=st.align_stall[lo:hi],
+            text_len=st.text_len[lo:hi],
+            params=SamplingParams(*(a[lo:hi] for a in st.params)),
+            sampler=SamplerState(seen=st.sampler.seen[lo:hi],
                                  rng=st.sampler.rng))
         g0 = sub.global_pos
-        ring = KVCache.zeros(self.cfg, 2 * Bp, n_steps, self._ring_dtype)
+        ring = KVCache.zeros(self.cfg, 2 * (hi - lo), n_steps,
+                             self._ring_dtype)
         ring, sub = self._scan_steps(params, fro, ring, g0, sub, n_steps,
                                      needs_top_p)
         st = st._replace(
-            tokens=st.tokens.at[slot_ids].set(sub.tokens),
-            n_generated=st.n_generated.at[slot_ids].set(sub.n_generated),
-            global_pos=st.global_pos.at[slot_ids].set(sub.global_pos),
-            done=st.done.at[slot_ids].set(sub.done),
-            out_buf=st.out_buf.at[slot_ids].set(sub.out_buf),
-            align_pos=st.align_pos.at[slot_ids].set(sub.align_pos),
-            align_stall=st.align_stall.at[slot_ids].set(sub.align_stall),
+            tokens=st.tokens.at[lo:hi].set(sub.tokens),
+            n_generated=st.n_generated.at[lo:hi].set(sub.n_generated),
+            global_pos=st.global_pos.at[lo:hi].set(sub.global_pos),
+            done=st.done.at[lo:hi].set(sub.done),
+            out_buf=st.out_buf.at[lo:hi].set(sub.out_buf),
+            align_pos=st.align_pos.at[lo:hi].set(sub.align_pos),
+            align_stall=st.align_stall.at[lo:hi].set(sub.align_stall),
             sampler=SamplerState(
-                seen=st.sampler.seen.at[slot_ids].set(sub.sampler.seen),
+                seen=st.sampler.seen.at[lo:hi].set(sub.sampler.seen),
                 rng=sub.sampler.rng))
         return ring, g0, sub.global_pos - g0, st
 
@@ -902,7 +903,9 @@ class T3Engine:
             def vapply(model):
                 return model.verify_step(fed, st.n_generated, st.global_pos,
                                          fro, g0, ring, rv, st.cfg_scale)
-            vlogits, blk = nn_apply(self.model, params, vapply)
+            vout = nn_apply(self.model, params, vapply)
+            vlogits, blk = vout[0], vout[1]
+            aprobs_all = vout[2] if self._align else None   # [B, M+1, S]
             vlogits = jnp.where(self._allow_mask[None, None, :], vlogits,
                                 -jnp.inf)
             ring = self._ring_insert(ring, blk, rv)
@@ -914,8 +917,42 @@ class T3Engine:
             tokens_new, done_run = st.tokens, st.done
             n_run, gp, rv_new = st.n_generated, st.global_pos, rv
             out_buf = st.out_buf
+            align_pos, align_stall = st.align_pos, st.align_stall
             for j in range(M + 1):
-                s_j, sst = sample_step(vlogits[:, j], st.params,
+                logits_j = vlogits[:, j]
+                if self._align:
+                    # same alignment update/suppress/force as the plain
+                    # decode step (engine._scan_steps), run per committed
+                    # token against the verify pass's per-fed-token
+                    # frozen-attention means; the committed stream's
+                    # align_stop decisions are therefore identical to the
+                    # plain path's (test_spec_decode.py)
+                    ap = aprobs_all[:, j]
+                    pos = jnp.arange(ap.shape[1])[None, :]
+                    span = (pos >= self.cfg.cond_len) & \
+                        (pos < self.cfg.cond_len + st.text_len[:, None])
+                    a_cur = jnp.argmax(jnp.where(span, ap, -1.0),
+                                       axis=1).astype(jnp.int32) - \
+                        self.cfg.cond_len
+                    advanced = a_cur > align_pos
+                    align_pos = jnp.where(commit & advanced, a_cur,
+                                          align_pos)
+                    align_stall = jnp.where(
+                        commit, jnp.where(advanced, 0, align_stall + 1),
+                        align_stall)
+                    near_end = align_pos >= \
+                        st.text_len - eng.align_end_margin
+                    suppress = commit & ~near_end & (st.text_len > 0)
+                    logits_j = logits_j.at[:, eos].set(
+                        jnp.where(suppress, -jnp.inf, logits_j[:, eos]))
+                    force = commit & near_end & \
+                        (align_stall >= eng.align_stall_patience)
+                    logits_j = jnp.where(
+                        force[:, None],
+                        jnp.full_like(logits_j,
+                                      -jnp.inf).at[:, eos].set(0.0),
+                        logits_j)
+                s_j, sst = sample_step(logits_j, st.params,
                                        SamplerState(seen, rng),
                                        needs_top_p=needs_top_p)
                 rng = sst.rng
@@ -933,6 +970,7 @@ class T3Engine:
                 if j < M:
                     commit = commit & (drafts[j] == s_j) & ~done_run
             new_st = st._replace(
+                align_pos=align_pos, align_stall=align_stall,
                 tokens=tokens_new, n_generated=n_run, global_pos=gp,
                 done=done_run, out_buf=out_buf,
                 sampler=SamplerState(seen=seen, rng=rng))
@@ -1153,11 +1191,12 @@ class T3Engine:
         return KVCache(k=fk, v=fv)
 
     def _merge_pool_impl(self, frozen: KVCache, ring: KVCache, g0, n_new,
-                         lane_ids):
+                         *, lo: int):
         """Pool merge: ring lanes [0, 2Bp) land in frozen lanes
-        lane_ids[j] (traced indices — one merge jit per (alloc, C) serves
-        every pool composition)."""
+        [2*lo, 2*lo + 2Bp) — STATIC lane offsets, so the per-lane DUS chain
+        compiles exactly like the full merge's."""
         rkq, rks, rvq, rvs = self._pack_ring(frozen, ring)
+        lane_ids = list(range(2 * lo, 2 * lo + rkq.shape[1]))
         return self._merge_windowed(frozen, rkq, rks, rvq, rvs,
                                     jnp.repeat(g0, 2), jnp.repeat(n_new, 2),
                                     lane_ids=lane_ids)

@@ -118,6 +118,19 @@ class NativeScheduler:
         min_wave = min(len(self._pending), max(1, self.n_slots // 4))
         if len(self._free) < min_wave:
             return [], []
+        # age-cohort steering (mirrors scheduler.cc sched_admit): fresh
+        # requests fill the half with the lower max position first
+        half = self.n_slots // 2
+        if half > 0:
+            max_a = max((c for s, c in zip(self._slots[:half],
+                                           self._pos_cap[:half])
+                         if s is not None), default=0)
+            max_b = max((c for s, c in zip(self._slots[half:],
+                                           self._pos_cap[half:])
+                         if s is not None), default=0)
+            prefer_a = max_a <= max_b
+            self._free.sort(
+                key=lambda x: (((x < half) == prefer_a), -x))
         take = min(len(self._free), len(self._pending), cap)
         out_s, out_u = [], []
         for _ in range(take):

@@ -112,6 +112,57 @@ def main():
               f"scaling efficiency {eff:.2f}")
         del engine
 
+    # ---- S3Gen vocode scaling (dp over the vocode batch; the vocoder is
+    # 82% of the reference's runtime, so config 5 names it explicitly) ----
+    from chatterbox_tpu.config import S3GenConfig
+    from chatterbox_tpu.models.s3gen.flow import fixed_noise
+    from chatterbox_tpu.models.s3gen.s3gen import S3Gen
+    from chatterbox_tpu.parallel.sharding import sharded_vocode_fn
+
+    scfg = S3GenConfig.tiny() if args.tiny else S3GenConfig()
+    s3gen = S3Gen(scfg)
+    Bv0, Tp, Tg = 4, 4, 16 if args.tiny else 200
+    T = Tp + Tg
+
+    def vocode_inputs(B):
+        tokens = jnp.zeros((B, T), jnp.int32)
+        token_len = jnp.full((B,), T, jnp.int32)
+        pfeat = jnp.zeros((B, 2 * Tp, scfg.n_mels))
+        pflen = jnp.full((B,), 2 * Tp, jnp.int32)
+        emb = jnp.zeros((B, scfg.spk_embed_dim))
+        noise = jnp.broadcast_to(fixed_noise(scfg.n_mels)[:, : 2 * T],
+                                 (B, 2 * T, scfg.n_mels))
+        return (tokens, token_len, pfeat, pflen, emb, noise,
+                jax.random.split(jax.random.PRNGKey(2), B))
+
+    sparams = jax.jit(lambda r: s3gen.init(
+        r, *vocode_inputs(1), n_timesteps=1))(rng)
+    base = None
+    n_steps = 2 if args.tiny else 10
+    dp = 1
+    while dp <= n_dev:
+        B = Bv0 * dp
+        inp = vocode_inputs(B)
+        if dp == 1:
+            fn = jax.jit(lambda p, *a: s3gen.apply(p, *a,
+                                                   n_timesteps=n_steps))
+        else:
+            fn = sharded_vocode_fn(
+                s3gen, build_mesh(MeshConfig(dp=dp, tp=1), devices[:dp]),
+                n_timesteps=n_steps)
+        wav, _ = fn(sparams, *inp)
+        jax.block_until_ready(wav)             # warm compile
+        t0 = time.time()
+        wav, _ = fn(sparams, *inp)
+        jax.block_until_ready(wav)
+        dt = time.time() - t0
+        rate = B * Tg / dt                     # speech tokens vocoded / s
+        if base is None:
+            base = rate
+        print(f"vocode dp={dp} (B={B}): {rate:10.1f} tok/s, "
+              f"scaling efficiency {rate / (base * dp):.2f}")
+        dp *= 2
+
 
 if __name__ == "__main__":
     main()

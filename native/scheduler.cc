@@ -98,6 +98,30 @@ int32_t sched_admit(void* h, int32_t* out_slots, int64_t* out_uids,
   int32_t take = std::min<int32_t>(
       {static_cast<int32_t>(s->free_slots.size()),
        static_cast<int32_t>(s->pending.size()), cap});
+  // Age-cohort steering for the engine's contiguous half-range pool split:
+  // fresh requests land in the half whose current max position is LOWER,
+  // so the two halves age as cohorts and the engine can decode the younger
+  // half at a smaller attention window (pool_split).  Implemented by
+  // sorting the free stack so preferred-half slots pop first.
+  int32_t half = s->n_slots / 2;
+  if (half > 0) {
+    int32_t max_a = 0, max_b = 0;
+    for (int32_t i = 0; i < s->n_slots; ++i) {
+      if (!s->slots[i].active) continue;
+      (i < half ? max_a : max_b) =
+          std::max(i < half ? max_a : max_b, s->slots[i].pos_cap);
+    }
+    bool prefer_a = max_a <= max_b;
+    std::stable_sort(s->free_slots.begin(), s->free_slots.end(),
+                     [&](int32_t x, int32_t y) {
+                       bool xa = x < half, ya = y < half;
+                       if (xa != ya) {
+                         // preferred half LAST (popped from the back first)
+                         return (xa == prefer_a) < (ya == prefer_a);
+                       }
+                       return x > y;  // within a half: lower ids pop first
+                     });
+  }
   for (int32_t j = 0; j < take; ++j) {
     Request r = s->pending.front();
     s->pending.pop_front();

@@ -114,3 +114,41 @@ def test_sharded_engine_int8_kv_matches_single_device():
     out = sharded.generate(reqs)
     for a, b in zip(ref, out):
         np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_sharded_vocode_matches_single_device():
+    """S3Gen dp-sharded over the vocode batch (BASELINE config 5): output
+    matches the unsharded jit on the same inputs."""
+    from chatterbox_tpu.config import S3GenConfig
+    from chatterbox_tpu.models.s3gen.flow import fixed_noise
+    from chatterbox_tpu.models.s3gen.s3gen import S3Gen
+    from chatterbox_tpu.parallel.sharding import sharded_vocode_fn
+
+    cfg = S3GenConfig.tiny()
+    model = S3Gen(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, Tp, Tg = 4, 4, 6
+    T = Tp + Tg
+    tokens = jax.random.randint(rng, (B, T), 0, cfg.speech_vocab_size)
+    token_len = jnp.array([T, T - 2, T, T - 1], jnp.int32)
+    pfeat = jax.random.normal(rng, (B, 2 * Tp, cfg.n_mels))
+    pflen = jnp.full((B,), 2 * Tp, jnp.int32)
+    emb = jax.random.normal(rng, (B, cfg.spk_embed_dim))
+    noise = jnp.broadcast_to(
+        fixed_noise(cfg.n_mels)[:, : 2 * T], (B, 2 * T, cfg.n_mels))
+    rngs = jax.random.split(jax.random.PRNGKey(42), B)
+    params = jax.jit(lambda r: model.init(
+        r, tokens, token_len, pfeat, pflen, emb, noise, rngs,
+        n_timesteps=2))(rng)
+
+    ref_wav, ref_len = jax.jit(
+        lambda *a: model.apply(params, *a, n_timesteps=2))(
+        tokens, token_len, pfeat, pflen, emb, noise, rngs)
+
+    mesh = build_mesh(MeshConfig(dp=2, sp=1, tp=2), jax.devices()[:4])
+    vocode = sharded_vocode_fn(model, mesh, n_timesteps=2)
+    wav, wlen = vocode(params, tokens, token_len, pfeat, pflen, emb,
+                       noise, rngs)
+    np.testing.assert_array_equal(np.asarray(ref_len), np.asarray(wlen))
+    np.testing.assert_allclose(np.asarray(ref_wav), np.asarray(wav),
+                               rtol=2e-4, atol=2e-4)

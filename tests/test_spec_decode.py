@@ -123,15 +123,37 @@ def test_spec_sampled_valid_streams(setup):  # noqa: F811
         assert valid.all()
 
 
-def test_spec_rejects_align_stop():
-    cfg = dataclasses.replace(T3ModelConfig.tiny(), align_enabled=True)
+@pytest.mark.parametrize("draft_layers", ["full", "truncated"])
+def test_spec_composes_with_align_stop(draft_layers):
+    """spec_decode x align_stop (VERDICT r3 item 8): the verify pass
+    exposes per-fed-token alignment probabilities and the commit loop runs
+    the same update/suppress/force logic per committed token, so the
+    multilingual default (align_stop) composes with speculation — greedy
+    streams bit-identical to the plain align_stop engine."""
+    cfg = dataclasses.replace(T3ModelConfig.tiny(), align_enabled=True,
+                              align_layer=1)
     model = T3Model(cfg)
-    eng = EngineConfig(max_batch_size=2, max_model_len=96, decode_chunk=4,
-                       prefill_buckets=(8, 16), tokens_max=16,
-                       kv_dtype="float32", align_stop=True, spec_decode=True,
-                       spec_draft_layers=cfg.n_layers)
-    with pytest.raises(ValueError, match="align_stop"):
-        T3Engine(model, {"params": {}}, cfg, eng)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda r: model.init(
+        r, jax.random.normal(r, (1, cfg.speaker_embed_size)),
+        jax.random.randint(r, (1, 6), 0, cfg.start_speech_token),
+        0.5 * jnp.ones((1, 1)),
+        jax.random.randint(r, (1, 8), 0, cfg.text_vocab_size),
+        jnp.full((1,), 8, jnp.int32),
+        method=lambda m, *a: m.init_all(*a)))(rng)
+    eng = EngineConfig(max_batch_size=4, max_model_len=96, decode_chunk=4,
+                       prefill_buckets=(8, 16), tokens_max=24,
+                       kv_dtype="int8", align_stop=True,
+                       align_stall_patience=2, align_end_margin=100)
+    reqs = _greedy_reqs(cfg, 5)
+    plain = _run(model, params, cfg, eng, reqs)
+    kd = cfg.n_layers if draft_layers == "full" else 1
+    spec = _run(model, params, cfg,
+                dataclasses.replace(eng, spec_decode=True,
+                                    spec_draft_layers=kd, spec_tokens=2),
+                reqs)
+    for i, (a, b) in enumerate(zip(plain, spec)):
+        np.testing.assert_array_equal(a, b, err_msg=f"request {i}")
 
 
 def test_spec_int4_kv_valid_streams(setup):
