@@ -873,8 +873,6 @@ class T3Engine:
                 k=ring.k[:kd], v=ring.v[:kd],
                 k_scale=None if ring.k_scale is None else ring.k_scale[:kd],
                 v_scale=None if ring.v_scale is None else ring.v_scale[:kd])
-            fed = st.tokens[:, None]                           # [B, 1]
-            drafts = []
             # The draft must propose what the VERIFY SAMPLER would pick, not
             # the raw argmax: the sampler applies the repetition penalty
             # (default 2.0), which moves the argmax often enough that raw
@@ -883,21 +881,40 @@ class T3Engine:
             # seen-chain that assumes the drafts commit (exactly the state
             # the verify sampler has when they do; temperature scaling and
             # min-p/top-p masking never move the argmax).
-            dseen = st.sampler.seen
-            for m in range(M):
-                def dapply(model, fed=fed):
+            #
+            # The M sequential passes run as ONE lax.scan over a padded
+            # [B, M] fed block (round-4: the unrolled loop traced M
+            # distinct-shaped backbone graphs per cycle — the per-pass
+            # fixed cost was the measured spec overhead's biggest line).
+            # Rows beyond the filled prefix hold garbage tokens; the
+            # causal self-block masks them from every earlier row, and
+            # only row m's logits are consumed at iteration m.
+            fed0 = jnp.concatenate(
+                [st.tokens[:, None], jnp.zeros((B, M), jnp.int32)], axis=1)
+
+            def draft_iter(carry, m):
+                fed, dseen = carry
+
+                def dapply(model):
                     return model.verify_step(
-                        fed, st.n_generated, st.global_pos,
+                        fed[:, :M], st.n_generated, st.global_pos,
                         fro_d, g0, ring_d, rv, st.cfg_scale)
-                dlogits, _ = nn_apply(self.draft_model, draft_params, dapply)
-                last = jnp.where(self._allow_mask[None, :],
-                                 dlogits[:, m], -jnp.inf)
+                dout = nn_apply(self.draft_model, draft_params, dapply)
+                dlogits = jax.lax.dynamic_index_in_dim(
+                    dout[0], m, axis=1, keepdims=False)       # [B, V]
+                last = jnp.where(self._allow_mask[None, :], dlogits,
+                                 -jnp.inf)
                 last = apply_repetition_penalty(
                     last, dseen, st.params.repetition_penalty)
                 d = jnp.argmax(last, axis=-1).astype(jnp.int32)
                 dseen = dseen.at[aridx, d].set(True)
-                drafts.append(d)
-                fed = jnp.concatenate([fed, d[:, None]], axis=1)
+                fed = jnp.where(jnp.arange(M + 1)[None, :] == m + 1,
+                                d[:, None], fed)
+                return (fed, dseen), d
+
+            (fed, _), drafts_s = jax.lax.scan(
+                draft_iter, (fed0, st.sampler.seen), jnp.arange(M))
+            drafts = [drafts_s[m] for m in range(M)]
 
             # --- verify: one multi-query full-trunk pass ---
             def vapply(model):

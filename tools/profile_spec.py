@@ -67,12 +67,16 @@ def main():
         engine._admit(reqs[16:32], list(range(16, 32)))
         engine._admit(reqs[32:48], list(range(32, 48)))
 
-        class _Sched:  # minimal: advance() upper bound only
+        class _Sched:  # minimal: advance() upper bound + uniform caps
             def __init__(self):
                 self.pos = 200
             def advance(self, n):
                 self.pos = min(S, self.pos + n)
                 return self.pos
+            def pos_caps(self):
+                # uniform positions: the pool split never engages, so the
+                # traced path is the plain full-batch dispatch
+                return np.full((B,), self.pos, np.int32)
         sched = _Sched()
         for _ in range(4):  # warm steady state
             engine._dispatch_decode(sched, needs_top_p=False)
