@@ -242,9 +242,6 @@ class T3Engine:
             if not (1 <= kd <= cfg.n_layers):
                 raise ValueError(f"spec_draft_layers must be in [1, "
                                  f"{cfg.n_layers}], got {kd}")
-            if mesh is not None:
-                raise ValueError("spec_decode + sharded serving not "
-                                 "supported yet")
             # draft skips the alignment stream (align_enabled=False): the
             # verify pass drives align_stop per committed token, so the
             # draft's only exposure is slightly lower acceptance near the
@@ -1002,7 +999,7 @@ class T3Engine:
         (ring, _, st), _ = jax.lax.scan(
             cycle, (ring, jnp.zeros((B,), jnp.int32), st), None,
             length=n_cycles)
-        return ring, g0, st
+        return ring, g0, self._rep(st)
 
     def _ring_insert(self, ring: KVCache, blk: KVCache, base):
         """Insert a fed block's K/V (head-major [L, B2, H, T, D]) into the
