@@ -208,14 +208,25 @@ class EngineConfig:
     # streams are bit-identical, stochastic streams stay correctly
     # distributed but differ (batch-shaped gumbel draw)
     compact_min: int = 8            # don't compact below this batch
-    pool_split: bool = True         # age-grouped two-pool dispatch: when
-    # the live slots' position spread spans >= pool_margin of attention
-    # window, decode the younger half at its own (smaller) s_active bucket
-    # instead of letting the oldest lane pin the window for everyone.
-    # Greedy streams are bit-identical; engages only at full occupancy.
+    pool_split: bool = False        # age-grouped two-pool dispatch: decode
+    # the younger half of the slots at its own (smaller) s_active bucket.
+    # Greedy bit-identical, but MEASURED OFF by default: two half-batch
+    # dispatches cost 1.36x of one full dispatch at the same window
+    # (tools/ubench_pool.py on v5e — the ~4 ms/step fixed cost per dispatch
+    # does not scale with lanes and swamps the window saving; docs/PERF.md
+    # round-4).  Kept for topologies with cheaper dispatch or much larger
+    # position spreads.
     pool_margin: int = 192          # minimum bucketed-window spread (in
-    # positions) between the pool maxima before a split pays its second
-    # dispatch (2x trunk weight re-read ~0.6 ms vs the saved window read)
+    # positions) between the pool maxima before a split is attempted
+    admission_order: str = "shortest"  # pending-queue order: "shortest"
+    # (ascending prompt_len — minimal padding within a prefill bucket) or
+    # "lpt" (descending prompt_len + max_new — longest-processing-time
+    # first, the classic makespan rule: the last-admitted requests are the
+    # shortest, so the final drain tail stays near-full occupancy)
+    admit_min_free: int = 0         # admission-wave hysteresis: admit only
+    # when at least this many slots are free (0 -> scheduler default,
+    # n_slots/4).  Smaller waves start requests sooner (TTFT, occupancy)
+    # at the cost of more prefill dispatches.
     admit_interleave: bool = False  # admit at most one prefill wave per
     # decode chunk instead of draining the whole admission queue first —
     # the first wave's requests start decoding ~2 prefill waves sooner

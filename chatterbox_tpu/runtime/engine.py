@@ -1308,7 +1308,10 @@ class T3Engine:
         """
         from .native import NativeScheduler
         eng = self.eng
-        sched = NativeScheduler(self.B, self.S)
+        sched = NativeScheduler(self.B, self.S,
+                                order=getattr(eng, "admission_order",
+                                              "shortest"),
+                                min_free=getattr(eng, "admit_min_free", 0))
         t_start = time.time()
         for i, r in enumerate(requests):
             sched.add_request(i, self.cfg.cond_len + len(r.text_ids) + 1,

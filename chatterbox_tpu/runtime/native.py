@@ -56,6 +56,8 @@ def _load_lib():
         try:
             lib.sched_pos_caps.argtypes = [ctypes.c_void_p,
                                            ctypes.POINTER(ctypes.c_int32)]
+            lib.sched_set_policy.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_int32, ctypes.c_int32]
         except AttributeError:      # stale .so without the symbol
             pass
         _lib = lib
@@ -68,12 +70,17 @@ def _load_lib():
 class NativeScheduler:
     """Continuous-batching request scheduler (C++ core when available)."""
 
-    def __init__(self, n_slots: int, max_model_len: int):
+    def __init__(self, n_slots: int, max_model_len: int,
+                 order: str = "shortest", min_free: int = 0):
         self.n_slots = n_slots
         self.max_model_len = max_model_len
+        self.order = order
+        self.min_free = min_free
         self._lib = _load_lib()
         if self._lib is not None:
             self._h = self._lib.sched_create(n_slots, max_model_len)
+            self._lib.sched_set_policy(
+                self._h, 1 if order == "lpt" else 0, int(min_free))
         else:
             self._pending: List[Tuple[int, int, int]] = []
             self._slots = [None] * n_slots          # uid or None
@@ -86,8 +93,11 @@ class NativeScheduler:
             self._lib.sched_add_request(self._h, uid, prompt_len, max_new)
         else:
             import bisect
-            keys = [p for p, _, _ in self._pending]
-            i = bisect.bisect_left(keys, prompt_len)
+            key = (-(prompt_len + max_new) if self.order == "lpt"
+                   else prompt_len)
+            keys = [(-(p + m) if self.order == "lpt" else p)
+                    for p, _, m in self._pending]
+            i = bisect.bisect_left(keys, key)
             self._pending.insert(i, (prompt_len, uid, max_new))
 
     def pending_count(self) -> int:
@@ -115,7 +125,9 @@ class NativeScheduler:
             return list(slots[:n]), list(uids[:n])
         if not self._pending:
             return [], []
-        min_wave = min(len(self._pending), max(1, self.n_slots // 4))
+        hyst = self.min_free if self.min_free > 0 \
+            else max(1, self.n_slots // 4)
+        min_wave = min(len(self._pending), hyst)
         if len(self._free) < min_wave:
             return [], []
         # age-cohort steering (mirrors scheduler.cc sched_admit): fresh

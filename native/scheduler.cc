@@ -33,9 +33,11 @@ struct Slot {
 struct Scheduler {
   int32_t n_slots;
   int32_t max_model_len;
+  int32_t order = 0;        // 0 = shortest-prompt-first, 1 = LPT
+  int32_t min_free = 0;     // admission hysteresis (0 -> n_slots/4)
   std::vector<Slot> slots;
   std::vector<int32_t> free_slots;
-  std::deque<Request> pending;  // kept sorted by prompt_len on insert
+  std::deque<Request> pending;  // kept sorted on insert (see order)
 
   explicit Scheduler(int32_t n, int32_t len) : n_slots(n), max_model_len(len) {
     slots.resize(n);
@@ -54,17 +56,28 @@ void* sched_create(int32_t n_slots, int32_t max_model_len) {
 
 void sched_destroy(void* h) { delete static_cast<Scheduler*>(h); }
 
-// Insert a request keeping the pending queue sorted by prompt_len
-// (shortest-first waves minimize padding within a prefill bucket).
+// Admission policy knobs: order 0 = shortest-prompt-first (minimal prefill
+// padding), 1 = LPT (descending prompt+cap: last-admitted requests are the
+// shortest, so the final drain tail stays near-full occupancy — classic
+// makespan rule).  min_free = admission hysteresis (0 -> n_slots/4).
+void sched_set_policy(void* h, int32_t order, int32_t min_free) {
+  auto* s = static_cast<Scheduler*>(h);
+  s->order = order;
+  s->min_free = min_free;
+}
+
+// Insert a request keeping the pending queue sorted per the policy order.
 void sched_add_request(void* h, int64_t uid, int32_t prompt_len,
                        int32_t max_new) {
   auto* s = static_cast<Scheduler*>(h);
   Request r{uid, prompt_len, max_new};
-  auto it = std::lower_bound(
-      s->pending.begin(), s->pending.end(), r,
-      [](const Request& a, const Request& b) {
-        return a.prompt_len < b.prompt_len;
-      });
+  auto lt = [s](const Request& a, const Request& b) {
+    if (s->order == 1) {
+      return a.prompt_len + a.max_new > b.prompt_len + b.max_new;
+    }
+    return a.prompt_len < b.prompt_len;
+  };
+  auto it = std::lower_bound(s->pending.begin(), s->pending.end(), r, lt);
   s->pending.insert(it, r);
 }
 
@@ -90,9 +103,10 @@ int32_t sched_admit(void* h, int32_t* out_slots, int64_t* out_uids,
                     int32_t* out_prompt_lens, int32_t cap) {
   auto* s = static_cast<Scheduler*>(h);
   if (s->pending.empty()) return 0;
+  int32_t hyst = s->min_free > 0 ? s->min_free
+                                 : std::max<int32_t>(1, s->n_slots / 4);
   int32_t min_wave = std::min<int32_t>(
-      static_cast<int32_t>(s->pending.size()),
-      std::max<int32_t>(1, s->n_slots / 4));
+      static_cast<int32_t>(s->pending.size()), hyst);
   if (static_cast<int32_t>(s->free_slots.size()) < min_wave) return 0;
 
   int32_t take = std::min<int32_t>(

@@ -466,3 +466,32 @@ def test_pool_split_matches_single_dispatch():
     for a, b in zip(r_pool, r_full):
         np.testing.assert_array_equal(a.tokens, b.tokens)
         assert a.finished_by_stop == b.finished_by_stop
+
+
+def test_lpt_admission_and_hysteresis(setup):
+    """admission_order='lpt' + admit_min_free: longest-total requests admit
+    first (flatter drain tail), smaller hysteresis admits sooner; greedy
+    per-request streams are unchanged (lanes are independent)."""
+    cfg, model, params, eng = setup
+    import dataclasses as dc
+    rng = jax.random.PRNGKey(31)
+    reqs = [mk_req(cfg, jax.random.fold_in(rng, i), n_text=4 + i,
+                   max_new=4 + 2 * i, temperature=0.0, uid=i)
+            for i in range(6)]
+    base = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(5))
+    ref = base.generate(reqs)
+    lpt = T3Engine(model, params, cfg,
+                   dc.replace(eng, admission_order="lpt", admit_min_free=1),
+                   rng=jax.random.PRNGKey(5))
+    out = lpt.generate(reqs)
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+
+    # LPT queue pops the longest total first
+    from chatterbox_tpu.runtime.native import NativeScheduler
+    s = NativeScheduler(4, 96, order="lpt")
+    s.add_request(0, 10, 5)     # total 15
+    s.add_request(1, 5, 30)     # total 35
+    s.add_request(2, 8, 10)     # total 18
+    slots, uids = s.admit(4)
+    assert uids == [1, 2, 0]
