@@ -73,11 +73,9 @@ class T3ModelConfig:
     # the projections as int8 x int8 -> int32 on the MXU (skips the
     # int8->bf16 weight convert; needs quant_weights)
     quant_act: bool = False
-    # Pallas fused decode attention (ops/decode_attention.py).  Measured
-    # SLOWER than XLA's fusions on v5e (28 vs 7.3 ms/step at B=24 — the
-    # per-(lane, head) grid's [S, 1] column layouts waste VPU lanes); kept
-    # for future tuning, off by default.
-    fused_decode: bool = False
+    # (A `fused_decode` Pallas decode-attention path existed through round
+    # 3; removed as a documented negative result — two kernel designs both
+    # lost 3-4x to XLA's packed-heads einsum fusions, docs/PERF.md.)
 
     # Alignment stream (original Chatterbox safeguard the reference drops,
     # reference README.md:99): expose head-mean attention of one mid layer

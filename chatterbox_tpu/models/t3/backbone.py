@@ -286,26 +286,14 @@ class Attention(nn.Module):
                 x, q, k, v, frozen_k, frozen_v, frozen_k_scale,
                 frozen_v_scale, frozen_len, ring_k, ring_v, ring_k_scale,
                 ring_v_scale, ring_base, int4_packed)
-        if (cfg.fused_decode and cfg.n_kv_heads == cfg.n_heads
-                and not int4_packed and not heads_packed
-                and not cfg.align_enabled
-                and ring_k_scale is None
-                and not self.is_initializing()
-                and jax.default_backend() == "tpu"):
-            from ...ops.decode_attention import fused_decode_attention
-            ones = None
-            fks = frozen_k_scale
-            fvs = frozen_v_scale
-            if fks is None:
-                ones = jnp.ones(frozen_k.shape[:3], jnp.float32)
-                fks = fvs = ones
-            out_h, nrk, nrv = fused_decode_attention(
-                q[:, 0], k[:, 0], v[:, 0], frozen_k, frozen_v, fks, fvs,
-                ring_k, ring_v, ring_idx, frozen_len)
-            out = out_h.reshape(B, 1, -1).astype(x.dtype)
-            return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
-                    nrk, nrv, None, None, jnp.zeros((B, 0), jnp.float32))
-
+        # NOTE: a Pallas fused decode-attention kernel was built and
+        # measured here across two grid designs; BOTH lost 3-4x to XLA's
+        # einsum fusions over the packed-heads cache (205-270 us/layer XLA
+        # vs ~930/~340 Pallas — the per-(lane, head) matvec wastes MXU/VPU
+        # lanes that the block-diagonal packed einsum does not).  The
+        # integration was removed as a documented negative result
+        # (docs/PERF.md "Levers that did NOT work"); decode attention is
+        # within ~1.7x of the HBM roofline on the XLA path.
         S = frozen_k.shape[1] if heads_packed else frozen_k.shape[2]
         C = ring_k.shape[2]
         ring_quant = ring_k_scale is not None
