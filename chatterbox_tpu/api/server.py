@@ -238,6 +238,18 @@ class TTSService:
         if warmup_text:
             try:
                 t0 = time.time()
+                # compile EVERY (alloc level, s_active) decode pair an
+                # open-ended request mix can hit — a single warmup request
+                # only covers its own shapes, and the first long request
+                # would otherwise grow the cache allocation and pay fresh
+                # compiles for every smaller window mid-request (advisor
+                # r3 finding; the persistent XLA cache makes this a
+                # once-per-machine cost)
+                eng = getattr(self.tts, "engine", None)
+                if eng is not None:
+                    eng.precompile(verbose=True)
+                print(f"[Server] decode precompile: {time.time() - t0:.1f}s")
+                t0 = time.time()
                 self.synthesize(warmup_text)
                 print(f"[Server] warmup synthesis: {time.time() - t0:.1f}s")
             except Exception as e:  # warmup failure tolerated (ref :602-603)
