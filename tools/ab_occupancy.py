@@ -120,9 +120,10 @@ def main():
     results = []
     order = ["base", "tail", "lpt", "hyst", "all", "base"]
     for arm in order:
-        engine.eng = dataclasses.replace(
-            engine.eng, compact_tail=False, admission_order="shortest",
-            admit_min_free=0, **ARMS[arm])
+        over = {"compact_tail": False, "admission_order": "shortest",
+                "admit_min_free": 0}
+        over.update(ARMS[arm])
+        engine.eng = dataclasses.replace(engine.eng, **over)
         rtt0 = probe_sync_rtt()
         t0 = time.time()
         out = engine.generate(reqs)
