@@ -596,6 +596,7 @@ class T3Engine:
             if self._try_pool_dispatch(sched, needs_top_p):
                 continue
             s_active = self._s_bucket(max(upper, 1))
+            self._last_s_active = s_active
             ring, g0, self.state = self._decode_chunk(
                 self.params, self.cache, self.state,
                 n_steps=eng.decode_chunk, s_active=s_active,
@@ -1120,6 +1121,11 @@ class T3Engine:
                 caps = {i: caps[s] for i, s in enumerate(alive)}
                 B_cur = target
                 target = B_cur // 2
+                # compaction renumbered the slots — refresh the id list
+                # before a possible second halving (a stale list indexed
+                # the pre-compaction ids and KeyError'd when two halvings
+                # happened back-to-back)
+                alive = sorted(slot_uid)
 
             for s in caps:
                 caps[s] = min(self.S, caps[s] + eng.decode_chunk)
@@ -1321,6 +1327,8 @@ class T3Engine:
         needs_top_p = any(r.top_p < 1.0 - 1e-6 for r in requests)
         phase = {"admit": 0.0, "decode": 0.0, "harvest": 0.0}
         n_chunks = 0
+        trace_path = os.environ.get("CHATTERBOX_SCHED_TRACE")
+        trace = [] if trace_path else None
         pipelined = bool(getattr(eng, "pipelined_harvest", False)
                          or os.environ.get("CHATTERBOX_PIPELINED_HARVEST"))
         if pipelined:
@@ -1353,6 +1361,7 @@ class T3Engine:
             # --- decode (merge folded into the dispatch) ---
             phase["admit"] += time.time() - t_ph
             t_ph = time.time()
+            t_disp = time.time()
             self._dispatch_decode(sched, needs_top_p)
             n_chunks += 1
             phase["decode"] += time.time() - t_ph
@@ -1377,6 +1386,17 @@ class T3Engine:
                 if progress:
                     print(f"[engine] {len(results)}/{len(requests)} done")
             phase["harvest"] += time.time() - t_ph
+            if trace is not None:
+                # per-chunk utilization trace (CHATTERBOX_SCHED_TRACE):
+                # where the wall time goes vs a perfect-occupancy run
+                trace.append({
+                    "t": round(time.time() - t_start, 3),
+                    "wall_ms": round((time.time() - t_disp) * 1e3, 1),
+                    "live": int(sched.active_count()),
+                    "freed": len(fslots),
+                    "pending": int(sched.pending_count()),
+                    "s_active": int(getattr(self, "_last_s_active", 0)),
+                })
 
             # --- tail compaction: once the queue is empty and the live set
             # fits in half the lanes, hand the drain to a compacted batch
@@ -1390,6 +1410,11 @@ class T3Engine:
                 phase["decode"] += time.time() - t_ph
                 break
 
+        if trace is not None:
+            import json
+            with open(trace_path, "a") as f:
+                for row in trace:
+                    f.write(json.dumps(row) + "\n")
         if progress or os.environ.get("CHATTERBOX_DEBUG"):
             import sys
             tot = sum(phase.values())

@@ -495,3 +495,28 @@ def test_lpt_admission_and_hysteresis(setup):
     s.add_request(2, 8, 10)     # total 18
     slots, uids = s.admit(4)
     assert uids == [1, 2, 0]
+
+
+def test_compact_tail_double_halving(setup):
+    """Regression: entering the drain with few enough live requests that the
+    batch halves TWICE back-to-back (48->24->12 analog) must not index the
+    pre-compaction slot ids (round-4 KeyError in _drain_tail)."""
+    cfg, model, params, eng = setup
+    import dataclasses as dc
+    e = T3Engine(model, params, cfg,
+                 dc.replace(eng, max_batch_size=8, compact_tail=True,
+                            compact_min=2),
+                 rng=jax.random.PRNGKey(5))
+    rng = jax.random.PRNGKey(77)
+    # 8 slots, only 2 live at queue-empty -> target halves 8->4->2 in one
+    # pass of the drain loop
+    reqs = [mk_req(cfg, jax.random.fold_in(rng, i), n_text=4,
+                   max_new=4 if i < 6 else 14, temperature=0.0, uid=i)
+            for i in range(8)]
+    results = e.generate(reqs)
+    assert len(results) == 8
+    e2 = T3Engine(model, params, cfg, dc.replace(eng, max_batch_size=8),
+                  rng=jax.random.PRNGKey(5))
+    ref = e2.generate(reqs)
+    for a, b in zip(ref, results):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
