@@ -200,7 +200,7 @@ class EngineConfig:
     # measured 23-29 ms RTTs, so the policy fires beyond them) — makes the
     # recorded score resilient to the tunnel's RTT lottery (VERDICT r2
     # item 2) instead of hostage to it
-    compact_tail: bool = False      # once the queue is empty, halve the
+    compact_tail: bool = True       # once the queue is empty, halve the
     # live batch by gathering survivors into a compacted cache/state and
     # decode at the smaller batch (per-step cost scales with lanes); greedy
     # streams are bit-identical, stochastic streams stay correctly
@@ -231,7 +231,9 @@ class EngineConfig:
     # (TTFT), at the cost of a few partially-occupied chunks at startup
     # (VERDICT round-1 item 10).  Greedy streams are bit-identical either
     # way (lanes are independent).
-    prefill_buckets: tuple = (64, 128, 256, 512, 1024)
+    prefill_buckets: tuple = (64, 128, 192, 256, 512, 1024)
+    # (192 added round 4: the parity workload's 120-180-token texts all
+    # landed in the 256 bucket, padding every prefill 1.4-2x)
     cfg_scale: float = 0.5          # default; per-request override supported
     kv_dtype: str = "bfloat16"      # or "int8" / "int4" (nibble-packed)
     param_dtype: str = "bfloat16"

@@ -572,6 +572,33 @@ class T3Engine:
                             s_active=s_active, needs_top_p=needs_top_p)
                         self.cache = self._merge_pool(self.cache, ring,
                                                       g0, n_new, lo=lo)
+
+        # Tail-drain surface: compact_tail halves the live batch when the
+        # queue empties (the parity trace puts 24% of wall in a 22-72%-
+        # occupancy drain).  Its decode/merge jits run at the COMPACTED
+        # batch sizes, which used to compile lazily mid-drain (the round-3
+        # "compact_tail neutral" A/B was paying stochastic compiles) —
+        # compile every (compacted size, s_active) pair here instead.
+        if (eng.compact_tail and self.mesh is None and not eng.spec_decode
+                and self.B // 2 >= eng.compact_min):
+            hi_cap = min(workload_max_pos or self.S, self.S)
+            sz = self.B
+            while sz // 2 >= eng.compact_min:
+                keep = list(range(sz // 2))
+                self._compact(keep, len(keep))
+                sz //= 2
+                for s_active in self._s_grid(min(self._s_alloc, hi_cap)):
+                    if verbose:
+                        import sys
+                        print(f"[engine] precompile compacted B={sz} "
+                              f"s_active={s_active}", file=sys.stderr,
+                              flush=True)
+                    ring, g0, self.state = self._decode_chunk(
+                        self.params, self.cache, self.state,
+                        n_steps=eng.decode_chunk, s_active=s_active,
+                        needs_top_p=needs_top_p)
+                    self.cache = self._merge(self.cache, ring, g0,
+                                             self.state.global_pos - g0)
         self.reset()
 
     def _dispatch_decode(self, sched, needs_top_p: bool):
