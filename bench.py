@@ -134,7 +134,7 @@ def main():
     from chatterbox_tpu.ops.quant import quantize_t3_params
     # experiment knobs (A/B without editing the bench; defaults = shipped)
     quant_act = bool(int(os.environ.get("CHATTERBOX_BENCH_W8A8", "0")))
-    compact = bool(int(os.environ.get("CHATTERBOX_BENCH_COMPACT_TAIL", "0")))
+    compact = bool(int(os.environ.get("CHATTERBOX_BENCH_COMPACT_TAIL", "1")))
     interleave = bool(int(os.environ.get("CHATTERBOX_BENCH_INTERLEAVE", "0")))
     base_cfg = T3ModelConfig()
     cfg = dataclasses.replace(base_cfg, quant_weights=True,
@@ -152,8 +152,13 @@ def main():
     # engine halves its harvest-sync frequency (chunks_per_dispatch=2);
     # everything measured so far (<= 29 ms) is below the threshold and
     # unaffected (runtime/engine.py rtt_policy, round-3 A/B data)
+    # compact_tail + admit_min_free=4: the round-4 occupancy A/B
+    # (tools/ab_occupancy.py; docs/PERF.md) — the parity workload spends
+    # 24% of wall in a 22-72%-occupancy drain without tail compaction, and
+    # admitting as soon as 4 slots free beats waiting for a 12-wide wave
     eng = EngineConfig(max_batch_size=48, max_model_len=1200, decode_chunk=32,
                        kv_dtype="int8", compact_tail=compact,
+                       admit_min_free=4,
                        admit_interleave=interleave, rtt_adaptive=True)
     if quant_act or compact or interleave:
         log(f"experiment knobs: w8a8={quant_act} compact_tail={compact} "

@@ -125,7 +125,7 @@ class NativeScheduler:
             return list(slots[:n]), list(uids[:n])
         if not self._pending:
             return [], []
-        hyst = self.min_free if self.min_free > 0 \
+        hyst = min(self.min_free, self.n_slots) if self.min_free > 0 \
             else max(1, self.n_slots // 4)
         min_wave = min(len(self._pending), hyst)
         if len(self._free) < min_wave:

@@ -103,7 +103,7 @@ int32_t sched_admit(void* h, int32_t* out_slots, int64_t* out_uids,
                     int32_t* out_prompt_lens, int32_t cap) {
   auto* s = static_cast<Scheduler*>(h);
   if (s->pending.empty()) return 0;
-  int32_t hyst = s->min_free > 0 ? s->min_free
+  int32_t hyst = s->min_free > 0 ? std::min(s->min_free, s->n_slots)
                                  : std::max<int32_t>(1, s->n_slots / 4);
   int32_t min_wave = std::min<int32_t>(
       static_cast<int32_t>(s->pending.size()), hyst);
