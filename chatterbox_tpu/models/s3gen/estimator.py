@@ -121,6 +121,21 @@ class ConditionalDecoder(nn.Module):
         c = self.cfg
         ch = c.est_channels
         time_dim = ch * 4
+
+        # Pad the time axis ONCE to the flash kernel's 128-frame grid: the
+        # per-block flash wrapper otherwise pads q/k/v and slices the
+        # output on EVERY invocation — 48 blocks x 10 Euler steps x 3 pads
+        # measured ~120 ms/call of pure pad/slice/copy traffic at
+        # T=1000->1024 (tools/profile_s3gen.py, round 4).  Everything in
+        # the trunk is mask-gated, so the tail frames are inert.
+        T0 = x.shape[1]
+        Tp = -(-T0 // 128) * 128
+        if Tp != T0:
+            pad3 = ((0, 0), (0, Tp - T0), (0, 0))
+            x = jnp.pad(x, pad3)
+            mu = jnp.pad(mu, pad3)
+            cond = jnp.pad(cond, pad3)
+            mask = jnp.pad(mask, ((0, 0), (0, Tp - T0)))
         m = mask[..., None].astype(x.dtype)
 
         t_emb = sinusoidal_time_emb(t, c.est_in_channels).astype(x.dtype)
@@ -152,4 +167,4 @@ class ConditionalDecoder(nn.Module):
 
         h = CausalBlock1D(ch, name="final_block")(h, m)
         out = Conv1d(c.n_mels, 1, name="final_proj")(h * m)
-        return out * m
+        return (out * m)[:, :T0]

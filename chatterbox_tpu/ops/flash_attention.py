@@ -71,9 +71,19 @@ def flash_self_attention(q, k, v, kv_len, bq: int = 1024, bk: int = 1024,
     """q, k, v: [B, H, T, D]; kv_len: [B] int32.  Non-causal, key-masked."""
     B, H, T, D = q.shape
     scale = 1.0 / np.sqrt(D)
-    bq = min(bq, -(-T // 128) * 128)
-    bk = min(bk, -(-T // 128) * 128)
-    Tp = -(-T // max(bq, bk)) * max(bq, bk)
+    # Block sizes must DIVIDE the (128-rounded) sequence so the wrapper
+    # never re-pads beyond one tile: bq = the largest 128-multiple divisor
+    # of ceil128(T) within the requested bq; bk likewise (bk = whole-T by
+    # default — k/v block revisiting measured fastest, docs/PERF.md).
+    T128 = -(-T // 128) * 128
+    def _fit(b):
+        b = min(b, T128)
+        while T128 % b:
+            b -= 128
+        return max(b, 128)
+    bq = _fit(bq)
+    bk = _fit(bk)
+    Tp = T128
     if Tp != T:
         pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
         q = jnp.pad(q, pad)
