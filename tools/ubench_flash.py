@@ -14,7 +14,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from chatterbox_tpu.ops.flash_attention import flash_self_attention
 
-B, H, T, D = 16, 8, 1000, 64
+B, H, T, D = 16, 8, 1024, 64
 ITERS = 30
 
 
