@@ -1119,7 +1119,11 @@ class T3Engine:
                                          rng=st.sampler.rng))
                 return nc, ns
 
-            self._jit_compact[m] = jax.jit(run, donate_argnums=(0, 1))
+            # no donation: compaction SHRINKS every buffer, so a donated
+            # full-size cache/state can never alias the output — XLA would
+            # just warn "donated buffers were not usable" on each compile
+            # (the full-size buffers die right after the call either way)
+            self._jit_compact[m] = jax.jit(run)
         self.cache, self.state = self._jit_compact[m](
             self.cache, self.state, jnp.asarray(keep, jnp.int32),
             jnp.asarray(n_alive, jnp.int32))
