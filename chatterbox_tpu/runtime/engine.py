@@ -1161,6 +1161,7 @@ class T3Engine:
             for s in caps:
                 caps[s] = min(self.S, caps[s] + eng.decode_chunk)
             s_active = self._s_bucket(max(max(caps.values()), 1))
+            t_disp = time.time()
             ring, g0, self.state = self._decode_chunk(
                 self.params, self.cache, self.state,
                 n_steps=eng.decode_chunk, s_active=s_active,
@@ -1170,6 +1171,13 @@ class T3Engine:
 
             done, active, n_gen = jax.device_get(
                 (self.state.done, self.state.active, self.state.n_generated))
+            if getattr(self, "_trace_rows", None) is not None:
+                self._trace_rows.append({
+                    "t": round(time.time() - self._trace_t0, 3),
+                    "wall_ms": round((time.time() - t_disp) * 1e3, 1),
+                    "live": len(slot_uid), "freed": 0, "pending": 0,
+                    "drain_B": self.state.tokens.shape[0],
+                    "s_active": int(s_active)})
             finished = [s for s in list(slot_uid) if done[s] and active[s]]
             if finished:
                 out = np.asarray(self.state.out_buf)
@@ -1360,6 +1368,8 @@ class T3Engine:
         n_chunks = 0
         trace_path = os.environ.get("CHATTERBOX_SCHED_TRACE")
         trace = [] if trace_path else None
+        self._trace_rows = trace       # _drain_tail appends its chunks too
+        self._trace_t0 = t_start
         pipelined = bool(getattr(eng, "pipelined_harvest", False)
                          or os.environ.get("CHATTERBOX_PIPELINED_HARVEST"))
         if pipelined:

@@ -35,8 +35,9 @@ def main():
     rs = np.random.default_rng(0)
     base_cfg = T3ModelConfig()
     cfg = dataclasses.replace(base_cfg, quant_weights=True)
+    # bench.py's shipped configuration (compact_tail defaults on)
     eng = EngineConfig(max_batch_size=48, max_model_len=1200,
-                       decode_chunk=32, kv_dtype="int8")
+                       decode_chunk=32, kv_dtype="int8", admit_min_free=4)
     model = T3Model(cfg)
     params = jax.jit(lambda r: T3Model(base_cfg).init(
         r, jnp.zeros((1, cfg.speaker_embed_size)),
