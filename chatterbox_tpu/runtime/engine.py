@@ -1142,6 +1142,13 @@ class T3Engine:
         B_cur = self.state.tokens.shape[0]
         pos = np.asarray(self.state.global_pos)
         caps = {s: int(pos[s]) for s in slot_uid}
+        # per-slot final-position bounds: don't let a nearly-done lane's
+        # advancing cap pull the drain's s_active into the next bucket
+        bound = {s: min(self.S,
+                        self.cfg.cond_len
+                        + len(requests[slot_uid[s]].text_ids) + 1
+                        + requests[slot_uid[s]].max_new_tokens + 1)
+                 for s in slot_uid}
         while slot_uid:
             alive = sorted(slot_uid)
             target = B_cur // 2
@@ -1150,6 +1157,7 @@ class T3Engine:
                 self._compact(keep, len(alive))
                 slot_uid = {i: slot_uid[s] for i, s in enumerate(alive)}
                 caps = {i: caps[s] for i, s in enumerate(alive)}
+                bound = {i: bound[s] for i, s in enumerate(alive)}
                 B_cur = target
                 target = B_cur // 2
                 # compaction renumbered the slots — refresh the id list
@@ -1159,7 +1167,8 @@ class T3Engine:
                 alive = sorted(slot_uid)
 
             for s in caps:
-                caps[s] = min(self.S, caps[s] + eng.decode_chunk)
+                caps[s] = min(self.S, caps[s] + eng.decode_chunk,
+                              max(bound[s], caps[s]))
             s_active = self._s_bucket(max(max(caps.values()), 1))
             t_disp = time.time()
             ring, g0, self.state = self._decode_chunk(

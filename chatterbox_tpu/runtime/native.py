@@ -85,6 +85,7 @@ class NativeScheduler:
             self._pending: List[Tuple[int, int, int]] = []
             self._slots = [None] * n_slots          # uid or None
             self._pos_cap = [0] * n_slots
+            self._max_pos = [0] * n_slots           # request's own bound
             self._free = list(range(n_slots))[::-1]
 
     # -- shared interface --------------------------------------------------
@@ -146,10 +147,11 @@ class NativeScheduler:
         take = min(len(self._free), len(self._pending), cap)
         out_s, out_u = [], []
         for _ in range(take):
-            plen, uid, _mx = self._pending.pop(0)
+            plen, uid, mx = self._pending.pop(0)
             slot = self._free.pop()
             self._slots[slot] = uid
             self._pos_cap[slot] = plen
+            self._max_pos[slot] = plen + mx + 1
             out_s.append(slot)
             out_u.append(uid)
         return out_s, out_u
@@ -161,8 +163,13 @@ class NativeScheduler:
         upper = 0
         for i in range(self.n_slots):
             if self._slots[i] is not None:
+                # clamped to the request's own final-position bound so a
+                # done-but-unharvested lane never drags the shared window
+                # bucket up (mirrors scheduler.cc sched_advance)
                 self._pos_cap[i] = min(self.max_model_len,
-                                       self._pos_cap[i] + n_steps)
+                                       self._pos_cap[i] + n_steps,
+                                       max(self._max_pos[i],
+                                           self._pos_cap[i]))
                 upper = max(upper, self._pos_cap[i])
         return upper
 

@@ -28,6 +28,7 @@ struct Slot {
   bool active = false;
   int64_t uid = -1;
   int32_t pos_cap = 0;  // upper bound on cache position
+  int32_t max_pos = 0;  // the request's own final-position bound
 };
 
 struct Scheduler {
@@ -141,7 +142,8 @@ int32_t sched_admit(void* h, int32_t* out_slots, int64_t* out_uids,
     s->pending.pop_front();
     int32_t slot = s->free_slots.back();
     s->free_slots.pop_back();
-    s->slots[slot] = {true, r.uid, r.prompt_len};
+    s->slots[slot] = {true, r.uid, r.prompt_len,
+                      r.prompt_len + r.max_new + 1};
     out_slots[j] = slot;
     out_uids[j] = r.uid;
     out_prompt_lens[j] = r.prompt_len;
@@ -156,7 +158,11 @@ int32_t sched_advance(void* h, int32_t n_steps) {
   int32_t upper = 0;
   for (auto& sl : s->slots) {
     if (!sl.active) continue;
-    sl.pos_cap = std::min(s->max_model_len, sl.pos_cap + n_steps);
+    // clamp to the request's own bound: a done-but-unharvested lane (or a
+    // lane one chunk from its cap) must not drag the shared s_active
+    // window into the next 96-bucket for everyone
+    sl.pos_cap = std::min({s->max_model_len, sl.pos_cap + n_steps,
+                           std::max(sl.max_pos, sl.pos_cap)});
     upper = std::max(upper, sl.pos_cap);
   }
   return upper;
