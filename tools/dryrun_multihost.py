@@ -108,6 +108,25 @@ def worker(process_id: int, num_processes: int, port: int, n_local: int):
         np.testing.assert_array_equal(a.tokens, b.tokens)
     log(f"sharded serving (dp={num_processes} across processes, tp={tp}, "
         "int8 KV): greedy tokens == single-device OK")
+
+    # ---- cross-host request routing: only rank 0 HAS the requests; the
+    # router broadcasts the wave so every rank feeds the SPMD engine the
+    # identical batch (runtime/multihost.py; SURVEY §5.8 "host-side
+    # request routing instead of NCCL broadcast")
+    from chatterbox_tpu.runtime.multihost import MultiHostRouter
+    router = MultiHostRouter(max_batch=8, text_max=16,
+                             cond_len=cfg.cond_len,
+                             hidden=cfg.hidden_size)
+    assert router.is_leader == (process_id == 0)
+    wave = router.sync_wave(reqs if router.is_leader else None)
+    assert wave is not None and len(wave) == len(reqs)
+    out2 = sharded.generate(wave)
+    for a, b in zip(ref, out2):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+    # empty wave = idle/shutdown signal
+    assert router.sync_wave([] if router.is_leader else None) is None
+    log("multi-host request router: leader-only ingestion -> identical "
+        "SPMD waves -> greedy parity OK")
     print(f"MULTIHOST_OK p{process_id}", flush=True)
 
 
