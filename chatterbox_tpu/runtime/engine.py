@@ -1200,8 +1200,9 @@ class T3Engine:
                         uid=requests[ridx].uid, tokens=toks,
                         finished_by_stop=by_stop,
                         ttft_s=self._ttft.get(ridx, 0.0))
+                # fixed-shape mask, not a per-count scatter (see generate)
                 self.state = self.state._replace(
-                    active=self.state.active.at[np.asarray(finished)].set(False))
+                    active=self.state.active & jnp.asarray(~(done & active)))
                 if progress:
                     print(f"[engine] {len(results)}/{len(requests)} done")
         self.reset()
@@ -1431,8 +1432,15 @@ class T3Engine:
                         uid=requests[ridx].uid, tokens=toks,
                         finished_by_stop=by_stop,
                         ttft_s=self._ttft.get(ridx, 0.0))
+                # clear freed slots with a FIXED-shape mask: an
+                # .at[fslots].set(False) scatter compiles a fresh tiny
+                # executable per distinct freed-count (~0.35 s each, 6-8
+                # helper jits on a mass harvest — the reproducible ~3 s
+                # stall at the queue-empty transition in the round-4
+                # traces).  sched.harvest frees every flagged slot, so the
+                # freed set IS done & active.
                 self.state = self.state._replace(
-                    active=self.state.active.at[np.asarray(fslots)].set(False))
+                    active=self.state.active & jnp.asarray(~(done & active)))
                 if progress:
                     print(f"[engine] {len(results)}/{len(requests)} done")
             phase["harvest"] += time.time() - t_ph
@@ -1500,8 +1508,12 @@ class T3Engine:
                         uid=requests[ridx].uid, tokens=toks,
                         finished_by_stop=by_stop,
                         ttft_s=self._ttft.get(ridx, 0.0))
+                # fixed-shape mask, not a per-count scatter (see generate);
+                # a slot freed by an earlier consume already has
+                # active=False at snapshot time, so its stale flag is off
                 self.state = self.state._replace(
-                    active=self.state.active.at[np.asarray(fslots)].set(False))
+                    active=self.state.active
+                    & jnp.asarray(~np.asarray(flags_d, bool)))
                 if progress:
                     print(f"[engine] {len(results)}/{len(requests)} done")
 
