@@ -57,10 +57,16 @@ class RelPositionMHA(nn.Module):
         u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (H, D))
         w = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (H, D))
 
-        ac = jnp.einsum("bthd,bshd->bhts", q + u[None, None], k,
-                        preferred_element_type=jnp.float32)
-        bd_full = jnp.einsum("bthd,mhd->bhtm", q + w[None, None], p,
-                             preferred_element_type=jnp.float32)
+        # score terms stay in the compute dtype (bf16 on TPU): the
+        # [B, H, T, 2T-1] position tensor and its rel-shift copies were
+        # ~20 ms/vocode-call of f32 transpose traffic at f32; only the
+        # softmax itself runs f32 (tests run f32 throughout, so parity
+        # numerics are unchanged there)
+        ac = jnp.einsum("bthd,bshd->bhts", q + u[None, None].astype(x.dtype),
+                        k, preferred_element_type=x.dtype)
+        bd_full = jnp.einsum("bthd,mhd->bhtm",
+                             q + w[None, None].astype(x.dtype), p,
+                             preferred_element_type=x.dtype)
         # rel-shift: bd[t, s] = bd_full[t, s - t + T - 1], done with the
         # Transformer-XL pad+reshape trick (attention.py:225-247) — a gather
         # here measured ~20x slower on TPU.
@@ -68,7 +74,7 @@ class RelPositionMHA(nn.Module):
         padded = jnp.pad(bd_full, ((0, 0), (0, 0), (0, 0), (1, 0)))
         padded = padded.reshape(B_, H_, 2 * T, T)
         bd = padded[:, :, 1:, :].reshape(B_, H_, T, 2 * T - 1)[..., :T]
-        scores = (ac + bd) / jnp.sqrt(jnp.float32(D))
+        scores = (ac + bd).astype(jnp.float32) / jnp.sqrt(jnp.float32(D))
 
         mask = key_mask[:, None, None, :]
         scores = jnp.where(mask, scores, jnp.float32(-1e30))

@@ -69,13 +69,19 @@ class ResBlock(nn.Module):
         return x
 
 
-def sine_source(f0_up, rngs, sample_rate: float, n_harmonics: int,
+def sine_source(f0, rngs, sample_rate: float, n_harmonics: int,
                 sine_amp: float, noise_std: float, voiced_threshold: float,
-                frame: int = 480):
+                frame: int = 480, dtype=jnp.float32):
     """SineGen + harmonic merge input (hifigan.py:169-231).
 
-    f0_up: [B, T] per-sample f0 in Hz (T a multiple of ``frame``); rngs: [B]
-    per-request PRNG keys.  Returns sine waves [B, T, H+1] and uv [B, T, 1].
+    f0: [B, F] per-FRAME f0 in Hz (the reference upsamples to sample rate
+    before integrating; since f0 is piecewise-constant over ``frame``
+    samples, the sample-rate cumsum decomposes exactly into a frame-level
+    cumsum plus an intra-frame ramp — F serial adds instead of F*480, and
+    the [B, F*480] f32 repeat buffer never materializes).  rngs: [B]
+    per-request PRNG keys.  Returns sine waves [B, T, H+1] and uv [B, T, 1]
+    in ``dtype`` (phase math stays f32; post-``sin`` values are O(1) so the
+    cast costs no audible precision at bf16).
 
     Noise is drawn per (request-key, frame-index) with fixed-size frame
     chunks, so a request's source noise is identical whether it is vocoded
@@ -87,11 +93,15 @@ def sine_source(f0_up, rngs, sample_rate: float, n_harmonics: int,
     per-harmonic — fewer cumsums, identical math.
     """
     harmonics = jnp.arange(1, n_harmonics + 2, dtype=jnp.float32)  # [H+1]
-    base = jnp.cumsum(f0_up.astype(jnp.float32) / sample_rate, axis=-1)
+    f32 = f0.astype(jnp.float32)
+    # exclusive frame-level integral + per-sample ramp within each frame
+    prev = jnp.cumsum(f32, axis=-1) - f32                      # [B, F]
+    ramp = jnp.arange(1, frame + 1, dtype=jnp.float32)         # [frame]
+    base = (prev[..., None] * frame + f32[..., None] * ramp) / sample_rate
     theta = 2.0 * jnp.pi * jnp.mod(base[..., None] * harmonics, 1.0)
-
-    T = f0_up.shape[1]
-    n_frames = T // frame
+    B, n_frames = f0.shape
+    T = n_frames * frame
+    theta = theta.reshape(B, T, -1)
 
     def draw(key):
         kp, kn = jax.random.split(key)
@@ -105,10 +115,13 @@ def sine_source(f0_up, rngs, sample_rate: float, n_harmonics: int,
 
     phase, noise_unit = jax.vmap(draw)(rngs)
 
-    sines = sine_amp * jnp.sin(theta + phase)
-    uv = (f0_up > voiced_threshold).astype(jnp.float32)[..., None]
-    noise_amp = uv * noise_std + (1.0 - uv) * sine_amp / 3.0
-    return sines * uv + noise_amp * noise_unit, uv
+    sines = (sine_amp * jnp.sin(theta + phase)).astype(dtype)
+    uv_f = (f0 > voiced_threshold).astype(dtype)[..., None]     # [B, F, 1]
+    noise_amp = uv_f * noise_std + (1.0 - uv_f) * (sine_amp / 3.0)
+    # frame-constant factors broadcast over the intra-frame axis
+    uv = jnp.repeat(uv_f, frame, axis=1)                        # [B, T, 1]
+    namp = jnp.repeat(noise_amp, frame, axis=1)
+    return sines * uv + namp * noise_unit.astype(dtype), uv
 
 
 class HiFTGenerator(nn.Module):
@@ -139,12 +152,13 @@ class HiFTGenerator(nn.Module):
             km = keep_mask(t.shape[1], rate, off, t.dtype)
             return t if km is None else t * km
 
-        # mel -> f0 -> per-sample source signal
+        # mel -> f0 -> per-sample source signal (sine_source integrates the
+        # frame-constant f0 itself; no [B, F*480] upsampled f0 buffer)
         f0 = ConvRNNF0Predictor(c, name="f0_predictor")(mel)        # [B, F]
-        f0_up = jnp.repeat(f0, up_prod, axis=-1)                    # [B, F*480]
         sines, _uv = sine_source(
-            f0_up, rngs, 24_000.0, c.hift_nb_harmonics, c.nsf_alpha,
-            c.nsf_sigma, c.nsf_voiced_threshold)
+            f0, rngs, 24_000.0, c.hift_nb_harmonics, c.nsf_alpha,
+            c.nsf_sigma, c.nsf_voiced_threshold, frame=up_prod,
+            dtype=mel.dtype)
         s = jnp.tanh(nn.Dense(1, name="m_source_linear")(sines))[..., 0]
         if valid_frames is not None:
             s = s * (jnp.arange(s.shape[1])[None, :]
