@@ -205,7 +205,10 @@ class EngineConfig:
     # decode at the smaller batch (per-step cost scales with lanes); greedy
     # streams are bit-identical, stochastic streams stay correctly
     # distributed but differ (batch-shaped gumbel draw)
-    compact_min: int = 8            # don't compact below this batch
+    compact_min: int = 6            # don't compact below this batch (6 =
+    # one extra halving vs the round-4 default 8: the parity trace's
+    # <=B/2 drain runs 7 of its 10 chunks with <=6 live lanes at B=12,
+    # paying the ~0.68x-of-full fixed dispatch cost for dead lanes)
     pool_split: bool = False        # age-grouped two-pool dispatch: decode
     # the younger half of the slots at its own (smaller) s_active bucket.
     # Greedy bit-identical, but MEASURED OFF by default: two half-batch
