@@ -156,7 +156,12 @@ def main():
     # (tools/ab_occupancy.py; docs/PERF.md) — the parity workload spends
     # 24% of wall in a 22-72%-occupancy drain without tail compaction, and
     # admitting as soon as 4 slots free beats waiting for a 12-wide wave
-    eng = EngineConfig(max_batch_size=48, max_model_len=1200, decode_chunk=32,
+    # B=64 (128 CFG lanes): the round-4 ab_batch A/B — 3303/3380 tok/s vs
+    # 3133/3177 at B=48 in one window (+5-7%, TTFT p50 5.2 -> 4.9 s): more
+    # slots amortize the ~5 ms/step fixed cost and shorten the admission
+    # queue.  B=96 OOMs (KV at alloc 768 is ~9.6 GB next to params + ring
+    # + prefill transients).
+    eng = EngineConfig(max_batch_size=64, max_model_len=1200, decode_chunk=32,
                        kv_dtype="int8", compact_tail=compact,
                        admit_min_free=4,
                        admit_interleave=interleave, rtt_adaptive=True)
@@ -304,8 +309,8 @@ def main():
     log(f"[T3] {total_tokens} tokens in {t3_time:.2f}s -> {t3_tok_s:.1f} tok/s "
         f"(baseline {BASELINE_T3_TOK_S}: {t3_tok_s / BASELINE_T3_TOK_S:.3f}x); "
         f"TTFT p50 {p50:.2f}s p95 {p95:.2f}s "
-        f"(154 reqs over 48 slots: later admission waves queue for a free "
-        f"slot; first-wave TTFT = prefill latency)")
+        f"(154 reqs over {eng.max_batch_size} slots: later admission waves "
+        f"queue for a free slot; first-wave TTFT = prefill latency)")
 
     # ---------------- S3Gen ----------------
     scfg = S3GenConfig()
