@@ -297,8 +297,10 @@ def main():
     #     supervisor's FINAL attempt so a bad day still records an
     #     artifact instead of nothing.
     final = bool(os.environ.get("CHATTERBOX_BENCH_FINAL"))
+    # soft floor raised 2400 -> 2800 late round 4: after the scatter-compile
+    # fix + B=64 every healthy-window trial measured 3095-3545 tok/s
     floor = 800.0 if final else float(
-        os.environ.get("CHATTERBOX_BENCH_MIN_T3_TOKS", "2400"))
+        os.environ.get("CHATTERBOX_BENCH_MIN_T3_TOKS", "2800"))
     if t3_tok_s < floor:
         log(f"[bench] T3 {t3_tok_s:.0f} tok/s is below the validity floor "
             f"({floor:.0f}) — degraded window/outage; invalidating attempt")
