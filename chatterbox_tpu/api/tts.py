@@ -235,16 +235,9 @@ class ChatterboxTTS:
                     ) -> "ChatterboxTTS":
         """Random-weight instance (development / benchmarking without
         checkpoint access)."""
-        if tokenizer is None:
-            # a dev instance must still tokenize (the on-chip dev server
-            # previously 500'd every request on tokenizer=None); a char
-            # fallback is fine against random weights
-            import sys
-            tok_cls = EnTokenizer if variant == "english" else MTLTokenizer
-            tokenizer = tok_cls.char_fallback()
-            print("[TTS] no tokenizer given with random weights — using a "
-                  "char-level fallback vocab", file=sys.stderr)
         base = apply_env_overrides(cfg or ChatterboxConfig())
+        if tokenizer is None:
+            tokenizer = cls._default_tokenizer_for(base, variant)
         rng = jax.random.PRNGKey(seed)
         t3c, s3c = base.t3, base.s3gen
 
@@ -275,6 +268,25 @@ class ChatterboxTTS:
         return cls._assemble(base, t3_params, s3gen_params, campplus_params,
                              ve_params, None, tokenizer, variant,
                              rng=rng, s3tok_cfg=s3tok_cfg)
+
+    @classmethod
+    def _default_tokenizer_for(cls, base, variant):
+        """Tokenizer for a dev/random instance: the REAL vendored vocab
+        assets (chatterbox_tpu/assets/, same data the reference bundles)
+        whenever the config's text vocab can hold the real id space, so the
+        production tokenizer path is what random-weight runs exercise;
+        char_fallback survives only for tiny test configs."""
+        import sys
+        tok_cls = EnTokenizer if variant == "english" else MTLTokenizer
+        try:
+            tok = tok_cls.from_pretrained()
+            if tok.vocab_size <= base.t3.text_vocab_size:
+                return tok
+        except FileNotFoundError:
+            pass
+        print("[TTS] config text vocab too small for the bundled real "
+              "vocab — using a char-level fallback", file=sys.stderr)
+        return tok_cls.char_fallback()
 
     @classmethod
     def _assemble(cls, base, t3_params, s3gen_params, campplus_params,

@@ -27,6 +27,11 @@ SOT, EOT = "[START]", "[STOP]"
 SPACE = "[SPACE]"
 UNK_TOKEN = "[UNK]"
 
+# Vendored vocab assets (MIT-licensed data bundled like the reference bundles
+# models/t3/tokenizer.json + mtl_tokenizer.json + the grapheme MTL vocab) —
+# make the real-vocab path the default even without a checkpoint dir.
+ASSETS_DIR = Path(__file__).resolve().parent.parent / "assets"
+
 
 def _resolve(candidates: List[str], what: str) -> str:
     for c in candidates:
@@ -56,7 +61,8 @@ class EnTokenizer:
             p = Path(path)
             cands += [str(p), str(p / "tokenizer.json")]
         cands += [os.path.join(os.getcwd(), "t3-model", "tokenizer.json"),
-                  os.environ.get("CHATTERBOX_TOKENIZER_JSON", "")]
+                  os.environ.get("CHATTERBOX_TOKENIZER_JSON", ""),
+                  str(ASSETS_DIR / "tokenizer.json")]
         return cls(_resolve(cands, "EnTokenizer"))
 
     @classmethod
@@ -247,7 +253,13 @@ class MTLTokenizer(EnTokenizer):
         cwd = os.path.join(os.getcwd(), "t3-multilingual-model")
         cands += [os.path.join(cwd, "grapheme_mtl_merged_expanded_v1.json"),
                   os.path.join(cwd, "mtl_tokenizer.json"),
-                  os.environ.get("CHATTERBOX_MTL_TOKENIZER_JSON", "")]
+                  os.environ.get("CHATTERBOX_MTL_TOKENIZER_JSON", ""),
+                  # the grapheme vocab is the 2454-id space the MTL
+                  # checkpoint trains against (reference t3-multilingual-
+                  # model/); mtl_tokenizer.json is the smaller package-local
+                  # variant kept as a fallback
+                  str(ASSETS_DIR / "grapheme_mtl_merged_expanded_v1.json"),
+                  str(ASSETS_DIR / "mtl_tokenizer.json")]
         return cls(_resolve(cands, "MTLTokenizer"), **kw)
 
     @classmethod
