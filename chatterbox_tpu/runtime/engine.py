@@ -1363,6 +1363,21 @@ class T3Engine:
         """
         from .native import NativeScheduler
         eng = self.eng
+        # reject overlong prompts up front (the reference/vLLM rejects
+        # > max_model_len; silently cropping at the largest prefill bucket
+        # would eat tokens mid-sentence).  App layers chunk long text first
+        # (audio.text.split_text_by_sentence / the server's splitter).
+        text_cap = min(eng.prefill_buckets[-1],
+                       self.S - self.cfg.cond_len - 2)
+        for i, r in enumerate(requests):
+            if len(r.text_ids) > text_cap:
+                raise ValueError(
+                    f"request {i}: {len(r.text_ids)} text tokens exceeds the "
+                    f"engine's prompt capacity of {text_cap} (prefill "
+                    f"buckets {eng.prefill_buckets}, max_model_len {self.S}). "
+                    "Split the text first — see "
+                    "chatterbox_tpu.audio.text.split_text_by_sentence — or "
+                    "raise EngineConfig.prefill_buckets/max_model_len.")
         sched = NativeScheduler(self.B, self.S,
                                 order=getattr(eng, "admission_order",
                                               "shortest"),
