@@ -34,10 +34,18 @@ def _supervise() -> int:
     import threading
     attempts = int(os.environ.get("CHATTERBOX_BENCH_ATTEMPTS", "6"))
     stall_s = float(os.environ.get("CHATTERBOX_BENCH_STALL_S", "600"))
+    # attempts share a log file so the RECORDED artifact carries every
+    # invalidated attempt's throughput (the soft validity floor + best-of-3
+    # is a best-window estimator; the selection effect must be visible in
+    # the JSON, not just stderr)
+    attempt_log = os.environ.get("CHATTERBOX_BENCH_ATTEMPT_LOG") or \
+        os.path.join("/tmp", f"chatterbox_bench_attempts_{os.getpid()}.jsonl")
+    open(attempt_log, "w").close()
     for attempt in range(1, attempts + 1):
         print(f"[bench] attempt {attempt}/{attempts}", file=sys.stderr,
               flush=True)
         env = dict(os.environ, CHATTERBOX_BENCH_CHILD="1",
+                   CHATTERBOX_BENCH_ATTEMPT_LOG=attempt_log,
                    CHATTERBOX_BENCH_FINAL="1" if attempt == attempts else "")
         proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
                                 stdout=subprocess.PIPE,
@@ -98,6 +106,30 @@ BASELINE_T3_TOK_S = 4577.88   # reference README.md:151
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _record_attempt(rec: dict) -> None:
+    """Append this attempt's outcome to the supervisor's shared log so
+    floor-invalidated throughputs end up in the recorded JSON artifact."""
+    path = os.environ.get("CHATTERBOX_BENCH_ATTEMPT_LOG")
+    if not path:
+        return
+    try:
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass
+
+
+def _read_attempts() -> list:
+    path = os.environ.get("CHATTERBOX_BENCH_ATTEMPT_LOG")
+    if not path or not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            return [json.loads(l) for l in f if l.strip()]
+    except (OSError, json.JSONDecodeError):
+        return []
 
 
 def probe_rtt(n: int = 10) -> float:
@@ -301,6 +333,10 @@ def main():
     # fix + B=64 every healthy-window trial measured 3095-3545 tok/s
     floor = 800.0 if final else float(
         os.environ.get("CHATTERBOX_BENCH_MIN_T3_TOKS", "2800"))
+    _record_attempt({"t3_trials_tok_s": [round(t[0], 1) for t in trials],
+                     "t3_floor": floor,
+                     "invalidated": bool(t3_tok_s < floor),
+                     "reason": "t3_below_floor" if t3_tok_s < floor else ""})
     if t3_tok_s < floor:
         log(f"[bench] T3 {t3_tok_s:.0f} tok/s is below the validity floor "
             f"({floor:.0f}) — degraded window/outage; invalidating attempt")
@@ -364,6 +400,9 @@ def main():
     # the per-batch result fetches sat through an outage
     s3_floor = float(os.environ.get("CHATTERBOX_BENCH_MIN_S3_RT", "30"))
     if s3_audio / s3_time < s3_floor:
+        _record_attempt({"s3gen_rt": round(s3_audio / s3_time, 1),
+                         "s3_floor": s3_floor, "invalidated": True,
+                         "reason": "s3gen_below_floor"})
         log(f"[bench] S3Gen {s3_audio / s3_time:.1f}x RT is below the "
             f"validity floor ({s3_floor:.0f}x) — tunnel outage mid-run; "
             "invalidating attempt")
@@ -385,6 +424,9 @@ def main():
         "t3_tok_s": round(t3_tok_s, 1),
         "ttft_p50_s": round(p50, 2),
         "ttft_p95_s": round(p95, 2),
+        # every attempt this supervisor run, including floor-invalidated
+        # ones, so the best-of-N selection effect is visible in the artifact
+        "attempt_history": _read_attempts(),
     }))
 
 

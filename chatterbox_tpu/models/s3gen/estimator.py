@@ -71,9 +71,12 @@ class TransformerBlock(nn.Module):
     """Self-attention + gelu-FF block (matcha/transformer.py
     BasicTransformerBlock with norm_type='layer_norm', no cross-attn).
 
-    Attention optionally runs through the Pallas flash kernel
-    (ops/flash_attention.py; S3GenConfig.use_flash_attention) — at these
-    shapes XLA's fused attention measured faster, so it is the default."""
+    Attention runs through the Pallas flash kernel by default
+    (ops/flash_attention.py; S3GenConfig.use_flash_attention=True) — with
+    bq=256+/whole-T k blocks it measures ~6x faster than XLA's
+    materialized [B,H,T,T] scores at vocoder shapes (docs/PERF.md,
+    "S3Gen fixed this round").  Set use_flash_attention=False to fall
+    back to plain XLA attention (e.g. for CPU parity debugging)."""
     dim: int
     n_heads: int
     head_dim: int

@@ -8,9 +8,11 @@ istft n_fft 16 hop 4, 8 harmonics, 24 kHz.
 
 TPU-native notes: channels-last everywhere; the iSTFT head runs as framing +
 DFT matmul + identity-kernel conv-transpose overlap-add (ops/stft.py) instead
-of cuFFT; SineGen's phase integral is a float32 cumsum with per-chunk
-re-centering to bound precision loss on long utterances.  Weight-norm convs
-are folded into plain convs at load time.
+of cuFFT; SineGen's phase integral is frame-decomposed — f0 is piecewise-
+constant over each 480-sample upsample frame, so the sample-rate cumsum
+factors exactly into a frame-level f32 cumsum plus an intra-frame ramp
+(F serial adds instead of F*480), and the post-sin tensors drop to the
+compute dtype.  Weight-norm convs are folded into plain convs at load time.
 """
 from __future__ import annotations
 

@@ -116,3 +116,42 @@ def test_padding_invariance(tiny_s3gen):
     np.testing.assert_allclose(np.asarray(wav_a[0, :n]),
                                np.asarray(wav_b[0, :n]),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_encoder_bf16_matches_f32():
+    """Production-dtype coverage for the conformer encoder (ADVICE r4): the
+    attention score einsums + rel-shift run in the INPUT dtype — bf16 on
+    TPU — with only the softmax in f32, and every parity suite feeds f32.
+    Run the same params on the same data in both dtypes and bound the
+    drift, so a regression in the bf16 logits path (e.g. an overflow in the
+    [B,H,T,2T-1] rel-position term) is caught on CPU."""
+    import dataclasses
+    from chatterbox_tpu.models.s3gen.encoder import UpsampleConformerEncoder
+
+    cfg = dataclasses.replace(
+        S3GenConfig.tiny(), enc_dim=64, enc_heads=4, enc_ffn_dim=128,
+        enc_blocks=2, enc_up_blocks=1)
+    enc = UpsampleConformerEncoder(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, T = 2, 48
+    x = jax.random.normal(rng, (B, T, cfg.enc_dim), jnp.float32)
+    lengths = jnp.array([T, T - 9], jnp.int32)
+    params = enc.init(jax.random.PRNGKey(1), x, lengths)
+
+    y32, l32 = enc.apply(params, x, lengths)
+    # production configuration: params cast to bf16 (bench.py/api do the
+    # same tree-cast), input bf16 — every score einsum then runs bf16
+    params16 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)
+    y16, l16 = enc.apply(params16, x.astype(jnp.bfloat16), lengths)
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(l32), np.asarray(l16))
+    a = np.asarray(y32, np.float32)
+    b = np.asarray(y16, np.float32)
+    assert np.isfinite(b).all()
+    # bf16 carries ~8 mantissa bits; across 2 conformer blocks + upsample
+    # the accumulated relative error stays well under 5% of the output scale
+    denom = max(np.abs(a).max(), 1e-6)
+    rel = np.abs(a - b).max() / denom
+    assert rel < 5e-2, f"bf16 encoder drifted {rel:.3f} from f32"
