@@ -77,6 +77,17 @@ class T3ModelConfig:
     # 3; removed as a documented negative result — two kernel designs both
     # lost 3-4x to XLA's packed-heads einsum fusions, docs/PERF.md.)
 
+    # Decode-attention implementation for the packed int8 frozen cache:
+    # "xla" = block-diagonal einsum over the full s_active window (masked),
+    # "ragged" = Pallas kernel that physically skips S-blocks beyond each
+    # lane's frozen_len (ops/ragged_decode.py; requires int8 KV, Hq ==
+    # Hkv, align_enabled off, falls back to "xla" otherwise).  MEASURED
+    # NEGATIVE on v5e: Pallas HBM streaming caps at ~0.6x of XLA's
+    # effective bandwidth (pure-copy probe), so skipping cannot pay at
+    # realistic fills — docs/PERF.md "round 5 ragged".  Kept for
+    # platforms/toolchains where that ceiling lifts.
+    decode_kernel: str = "xla"
+
     # Alignment stream (original Chatterbox safeguard the reference drops,
     # reference README.md:99): expose head-mean attention of one mid layer
     # over the frozen prefix during decode so the engine can track text

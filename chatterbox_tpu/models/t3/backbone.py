@@ -286,14 +286,15 @@ class Attention(nn.Module):
                 x, q, k, v, frozen_k, frozen_v, frozen_k_scale,
                 frozen_v_scale, frozen_len, ring_k, ring_v, ring_k_scale,
                 ring_v_scale, ring_base, int4_packed)
-        # NOTE: a Pallas fused decode-attention kernel was built and
-        # measured here across two grid designs; BOTH lost 3-4x to XLA's
-        # einsum fusions over the packed-heads cache (205-270 us/layer XLA
-        # vs ~930/~340 Pallas — the per-(lane, head) matvec wastes MXU/VPU
-        # lanes that the block-diagonal packed einsum does not).  The
-        # integration was removed as a documented negative result
-        # (docs/PERF.md "Levers that did NOT work"); decode attention is
-        # within ~1.7x of the HBM roofline on the XLA path.
+        # NOTE: Pallas decode-attention kernels were built and measured
+        # here across THREE designs over three rounds; all lose to XLA's
+        # einsum fusions over the packed-heads cache.  The round-5
+        # position-major ragged kernel (ops/ragged_decode.py, reachable
+        # via decode_kernel="ragged" below) finally isolated why: Pallas
+        # HBM streaming on this stack caps at ~0.6x of XLA's effective
+        # bandwidth even for a pure copy, so per-lane length skipping
+        # cannot pay at realistic fills (docs/PERF.md "round 5 ragged").
+        # Decode attention is ~1.1x off the HBM roofline on the XLA path.
         S = frozen_k.shape[1] if heads_packed else frozen_k.shape[2]
         C = ring_k.shape[2]
         ring_quant = ring_k_scale is not None
@@ -423,6 +424,13 @@ class Attention(nn.Module):
         C = ring_k.shape[2]
         q1 = q[:, 0]                                       # [B, Hq, D]
 
+        if (cfg.decode_kernel == "ragged" and fk_scale is not None
+                and not int4_packed and Hq == Hkv
+                and not cfg.align_enabled and S % 96 == 0):
+            return self._decode_packed_ragged(
+                x, q1, fkp, fvp, fk_scale, fv_scale, frozen_len,
+                ring_k, ring_v, rks, rvs, ring_idx)
+
         if fk_scale is not None:
             # int8 x int8 QK on the MXU (see the head-major path note)
             qf = q1.astype(jnp.float32)
@@ -489,6 +497,75 @@ class Attention(nn.Module):
         return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
                 ring_k, ring_v, rks, rvs, align)
 
+
+    def _decode_packed_ragged(self, x, q1, fkp, fvp, fk_scale, fv_scale,
+                              frozen_len, ring_k, ring_v, rks, rvs,
+                              ring_idx):
+        """Frozen segment via the ragged Pallas kernel
+        (ops/ragged_decode.py): per-lane S-blocks beyond frozen_len are
+        never read from HBM (the XLA einsum path reads the whole shared
+        s_active window and masks).  The ring segment stays XLA (C <= 32)
+        and the two segments merge by exact softmax-stat combination —
+        numerics match _decode_packed up to accumulation order.
+
+        Preconditions (checked by the caller): int8 packed cache with
+        scales, Hq == Hkv, align_enabled off, S % 96 == 0."""
+        from ...ops.ragged_decode import ragged_decode_attention
+        cfg = self.cfg
+        d = cfg.head_dim
+        Hq = cfg.n_heads
+        B = x.shape[0]
+        S = fkp.shape[1]
+        C = ring_k.shape[2]
+
+        qf = q1.astype(jnp.float32)
+        qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) + 1e-9
+        q8 = jnp.clip(jnp.round(qf / qa * 127.0), -127, 127).astype(jnp.int8)
+        eye8 = jnp.eye(Hq, dtype=jnp.int8)
+        qbd = (q8[:, :, None, :] * eye8[None, :, :, None]
+               ).reshape(B, Hq, Hq * d)
+        q_scale = (qa[:, :, 0] / (127.0 * jnp.sqrt(jnp.float32(d))))
+
+        block_s = 192 if S % 192 == 0 else 96
+        o_f, m_f, l_f = ragged_decode_attention(
+            frozen_len.astype(jnp.int32), qbd, q_scale, fkp, fvp,
+            fk_scale, fv_scale, block_s=block_s,
+            interpret=jax.default_backend() == "cpu")
+
+        # ---- ring segment (same math as _decode_packed) ----
+        rk = self._repeat_kv(ring_k)
+        rv = self._repeat_kv(ring_v)
+        ring_quant = rks is not None
+        if ring_quant:
+            rk = rk.astype(x.dtype)
+            rv = rv.astype(x.dtype)
+        qb = q1.astype(x.dtype)
+        sr = jnp.einsum("bhd,bhcd->bhc", qb, rk,
+                        preferred_element_type=jnp.float32
+                        ) / jnp.sqrt(jnp.float32(d))
+        if ring_quant:
+            sr = sr * self._repeat_kv(rks).astype(jnp.float32)
+        r_valid = (jnp.arange(C) <= ring_idx)[None, None, :]
+        sr = jnp.where(r_valid, sr, -1e30)
+        m_r = jnp.max(sr, axis=-1)                        # [B, Hq]
+        e_r = jnp.exp(sr - m_r[..., None])
+        e_r = jnp.where(r_valid, e_r, 0.0)
+        l_r = jnp.sum(e_r, axis=-1)
+        if ring_quant:
+            e_r = e_r * self._repeat_kv(rvs).astype(jnp.float32)
+        o_r = jnp.einsum("bhc,bhcd->bhd", e_r.astype(x.dtype), rv,
+                         preferred_element_type=jnp.float32)
+
+        # ---- exact merge of the two segments' softmax stats ----
+        m_all = jnp.maximum(m_f, m_r)
+        a_f = jnp.exp(m_f - m_all)
+        a_r = jnp.exp(m_r - m_all)
+        denom = l_f * a_f + l_r * a_r                      # ring has >= 1
+        out = ((o_f * a_f[..., None] + o_r * a_r[..., None])
+               / denom[..., None]).astype(x.dtype).reshape(B, 1, Hq * d)
+        align = jnp.zeros((B, 0), jnp.float32)
+        return (_dense(cfg, cfg.hidden_size, "o_proj", x.dtype)(out),
+                ring_k, ring_v, rks, rvs, align)
 
     def _verify_packed(self, x, q, k, v, frozen_k, frozen_v, fk_scale,
                        fv_scale, frozen_len, ring_k, ring_v, rks, rvs,

@@ -179,3 +179,100 @@ def test_quant_dense_act_quant_close():
     err = np.abs(np.asarray(y_w8a8, np.float32) - np.asarray(y_w8, np.float32))
     denom = np.maximum(ref.mean(), 1e-6)
     assert err.mean() / denom < 8e-3, err.mean() / denom
+
+
+def test_ragged_decode_matches_reference_math():
+    """ops/ragged_decode.py vs plain masked softmax-stat math (interpret
+    mode on CPU): ragged block skipping must be numerically exact up to
+    bf16 PV accumulation order."""
+    from chatterbox_tpu.ops.ragged_decode import ragged_decode_attention
+
+    B2, H, D, S = 8, 4, 16, 192
+    HD = H * D
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    kp = jax.random.randint(keys[0], (B2, S, HD), -127, 128, jnp.int8)
+    vp = jax.random.randint(keys[1], (B2, S, HD), -127, 128, jnp.int8)
+    ks = jax.random.uniform(keys[2], (B2, H, S), jnp.float32, 0.5,
+                            1.5).astype(jnp.bfloat16)
+    vs = jax.random.uniform(keys[3], (B2, H, S), jnp.float32, 0.5,
+                            1.5).astype(jnp.bfloat16)
+    q8 = jax.random.randint(keys[4], (B2, H, D), -127, 128, jnp.int8)
+    qs = jax.random.uniform(keys[5], (B2, H), jnp.float32, 0.001, 0.01)
+    lengths = jnp.asarray(np.repeat(np.array([5, 37, 96, 192]), 2)
+                          .astype(np.int32))
+    eye = jnp.eye(H, dtype=jnp.int8)
+    qbd = (q8[:, :, None, :] * eye[None, :, :, None]).reshape(B2, H, HD)
+
+    o, m, l = ragged_decode_attention(lengths, qbd, qs, kp, vp, ks, vs,
+                                      block_s=16, interpret=True)
+
+    s32 = jnp.einsum("bhD,bsD->bhs", qbd, kp,
+                     preferred_element_type=jnp.int32)
+    s = s32.astype(jnp.float32) * qs[..., None] * ks.astype(jnp.float32)
+    valid = (jnp.arange(S)[None, :] < lengths[:, None])[:, None, :]
+    s = jnp.where(valid, s, -1e30)
+    m_ref = jnp.max(s, -1)
+    e = jnp.where(valid, jnp.exp(s - m_ref[..., None]), 0.0)
+    l_ref = jnp.sum(e, -1)
+    ev = (e * vs.astype(jnp.float32)).astype(jnp.bfloat16)
+    of = jnp.einsum("bhs,bsD->bhD", ev, vp.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    o_ref = jnp.sum(of.reshape(B2, H, H, D)
+                    * jnp.eye(H)[None, :, :, None], axis=2)
+
+    # the kernel multiplies the scale factors in a different association
+    # (position-major), so scores round differently in f32; exp amplifies
+    # that to ~1e-3 relative on l/o — the module-level A/B below bounds the
+    # end-to-end effect
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref), rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(o_ref),
+        atol=1e-2 * float(jnp.abs(o_ref).max()))
+
+
+def test_ragged_decode_attention_module_ab():
+    """backbone Attention decode mode: decode_kernel='ragged' must match
+    'xla' on an int8 packed frozen cache + quantized ring (the full
+    two-segment joint softmax, v-scale folding, o_proj)."""
+    import dataclasses
+    from chatterbox_tpu.config import T3ModelConfig
+    from chatterbox_tpu.models.t3.backbone import (Attention, quantize_kv,
+                                                   quantize_kv_packed)
+
+    cfg = dataclasses.replace(T3ModelConfig.tiny(), n_heads=4, n_kv_heads=4,
+                              head_dim=16, hidden_size=64)
+    S, C, B2 = 96, 8, 4
+    rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, 8)
+    x = jax.random.normal(keys[0], (B2, 1, cfg.hidden_size), jnp.float32)
+    positions = jnp.full((B2, 1), 40, jnp.int32)
+    inv_freq = jnp.ones((cfg.head_dim // 2,), jnp.float32) * 0.01
+    fk = jax.random.normal(keys[1], (B2, cfg.n_kv_heads, S, cfg.head_dim))
+    fv = jax.random.normal(keys[2], (B2, cfg.n_kv_heads, S, cfg.head_dim))
+    fkp, fks = quantize_kv_packed(fk)
+    fvp, fvs = quantize_kv_packed(fv)
+    rk = jax.random.normal(keys[3], (B2, cfg.n_kv_heads, C, cfg.head_dim))
+    rv = jax.random.normal(keys[4], (B2, cfg.n_kv_heads, C, cfg.head_dim))
+    rkq, rksc = quantize_kv(rk)
+    rvq, rvsc = quantize_kv(rv)
+    frozen_len = jnp.asarray([37, 37, 96, 96], jnp.int32)
+
+    outs = {}
+    for kind in ("xla", "ragged"):
+        c = dataclasses.replace(cfg, decode_kernel=kind)
+        attn = Attention(c)
+        args = dict(positions=positions, valid_len=None, inv_freq=inv_freq,
+                    frozen_k=fkp, frozen_v=fvp, frozen_len=frozen_len,
+                    ring_k=rkq, ring_v=rvq, ring_idx=3,
+                    frozen_k_scale=fks.astype(jnp.bfloat16),
+                    frozen_v_scale=fvs.astype(jnp.bfloat16),
+                    ring_k_scale=rksc.astype(jnp.bfloat16),
+                    ring_v_scale=rvsc.astype(jnp.bfloat16))
+        params = attn.init(jax.random.PRNGKey(7), x, **args)
+        outs[kind] = attn.apply(params, x, **args)
+
+    o_x, o_r = outs["xla"][0], outs["ragged"][0]
+    scale = float(jnp.abs(o_x).max())
+    np.testing.assert_allclose(np.asarray(o_r), np.asarray(o_x),
+                               atol=5e-3 * scale)
