@@ -212,7 +212,8 @@ class _Job:
         kw = self.kw
         if kw.get("seed") is not None:
             return ("solo", id(self))
-        return (kw.get("voice_path"), kw.get("diffusion_steps", 10))
+        return (kw.get("voice_path"), kw.get("diffusion_steps", 10),
+                bool(kw.get("_tokens_only")))
 
 
 class TTSService:
@@ -271,6 +272,17 @@ class TTSService:
             raise job.error
         return job.wav
 
+    def synthesize_tokens(self, text: str, **kw) -> np.ndarray:
+        """T3 speech tokens only (no vocode) — queued/coalesced like
+        synthesize; the streaming path vocodes them incrementally via
+        ChatterboxTTS.vocode_stream."""
+        job = _Job(text, dict(kw, _tokens_only=True))
+        self._q.put(job)
+        job.done.wait()
+        if job.error is not None:
+            raise job.error
+        return job.wav
+
     # -- worker ---------------------------------------------------------
     def _worker_loop(self):
         import queue as _q
@@ -291,6 +303,7 @@ class TTSService:
         sr = getattr(self.tts, "sr", 24000)
         try:
             kw0 = jobs[0].kw
+            tokens_only = bool(kw0.get("_tokens_only"))
             if kw0.get("seed") is not None:
                 self.tts.set_seed(int(kw0["seed"]))
             if hasattr(self.tts, "generate_with_conds"):
@@ -304,15 +317,21 @@ class TTSService:
                     top_p=per("top_p", 1.0), min_p=per("min_p", 0.05),
                     repetition_penalty=per("repetition_penalty", 2.0),
                     cfg_scale=per("cfg_scale", None),
-                    diffusion_steps=int(kw0.get("diffusion_steps", 10)))
+                    diffusion_steps=int(kw0.get("diffusion_steps", 10)),
+                    vocode=not tokens_only)
             else:  # minimal tts object (tests / custom backends)
+                tokens_only = False
                 wavs = self.tts.generate([j.text for j in jobs])
             self.stats["batches"] += 1
             self.stats["batched_requests"] += len(jobs)
             for j, w in zip(jobs, wavs):
-                j.wav = apply_watermark(np.asarray(w), sr)
-                self.stats["requests"] += 1
-                self.stats["audio_s"] += len(j.wav) / sr
+                if tokens_only:
+                    j.wav = np.asarray(w)          # speech tokens, not audio
+                    self.stats["requests"] += 1
+                else:
+                    j.wav = apply_watermark(np.asarray(w), sr)
+                    self.stats["requests"] += 1
+                    self.stats["audio_s"] += len(j.wav) / sr
                 self.stats["synth_s"] += time.time() - j.t0
                 j.done.set()
         except Exception as e:
@@ -336,29 +355,102 @@ class TTSService:
                           first_chunk_chars: int = 30,
                           chunk_chars: int = 120,
                           primer_silence_ms: int = 0,
-                          first_chunk_diff_steps: Optional[int] = None,
+                          first_chunk_diff_steps: Optional[int] = 5,
+                          stream_vocode: bool = True,
+                          seg_frames: int = 100,
                           **kw) -> Iterator[bytes]:
         """Chunked PCM16 streaming (reference :438-528): optional primer
         silence so headers/first bytes flush immediately, a small first text
-        chunk (optionally at reduced diffusion steps) for TTFA, prosody-
-        repaired follow-up chunks, 5 ms tail fade to 0.95 per chunk."""
+        chunk at reduced diffusion steps for TTFA (default 5 — the
+        reference documents 5 as audibly indistinguishable, tts.py:300-303;
+        pass first_chunk_diff_steps=None to disable), prosody-repaired
+        follow-up chunks, 5 ms tail fade to 0.95 per chunk.
+
+        Two pipeline improvements over the reference's per-chunk
+        synchronous design (VERDICT r4 item 4):
+
+        * chunk k+1's synthesis is PREFETCHED on a worker thread while
+          chunk k's frames stream out, so inter-chunk gaps collapse;
+        * when the backing session supports it, each chunk runs T3 once
+          (tokens only) and then vocodes via ChatterboxTTS.vocode_stream —
+          flow once + HiFT on ``seg_frames``-frame segments — so a long
+          chunk's first audio leaves after one small HiFT call instead of
+          after the whole chunk's vocode (``stream_vocode=False`` restores
+          the monolithic path)."""
+        from concurrent.futures import ThreadPoolExecutor
         frame_len = int(S3GEN_SR * frame_ms / 1000) * 2  # bytes
         fade = int(S3GEN_SR * 0.005)
-        if primer_silence_ms > 0:
-            yield pcm16_bytes(
-                np.zeros(int(S3GEN_SR * primer_silence_ms / 1000), np.float32))
-        for idx, chunk in enumerate(
-                split_for_low_latency(text, first_chunk_chars, chunk_chars)):
+        can_seg = (stream_vocode
+                   and hasattr(self.tts, "vocode_stream")
+                   and hasattr(self.tts, "generate_with_conds")
+                   and hasattr(self.tts, "get_audio_conditionals"))
+        chunks = split_for_low_latency(text, first_chunk_chars, chunk_chars)
+
+        def chunk_kw(idx):
             ckw = dict(kw)
             if idx == 0 and first_chunk_diff_steps is not None:
                 ckw["diffusion_steps"] = max(1, int(first_chunk_diff_steps))
-            wav = self.synthesize(chunk, **ckw)
-            if len(wav) > fade:  # 5 ms tail fade per chunk (ref :509-518)
-                wav = wav.copy()
-                wav[-fade:] *= np.linspace(1.0, 0.95, fade, dtype=np.float32)
-            pcm = pcm16_bytes(wav)
-            for off in range(0, len(pcm), frame_len):
-                yield pcm[off: off + frame_len]
+            return ckw
+
+        def produce(idx):
+            ckw = chunk_kw(idx)
+            if can_seg:
+                return self.synthesize_tokens(chunks[idx], **ckw)
+            return self.synthesize(chunks[idx], **ckw)
+
+        def chunk_pieces(idx, produced):
+            """Yield this chunk's audio as one or more float32 pieces with
+            the 5 ms tail fade applied to the chunk's final samples."""
+            if can_seg:
+                ckw = chunk_kw(idx)
+                conds = self.tts.get_audio_conditionals(kw.get("voice_path"))
+                held = None
+                for piece in self.tts.vocode_stream(
+                        produced, conds,
+                        diffusion_steps=int(ckw.get("diffusion_steps", 10)),
+                        seg_frames=seg_frames):
+                    piece = apply_watermark(np.asarray(piece, np.float32),
+                                            S3GEN_SR)
+                    if held is not None:
+                        piece = np.concatenate([held, piece])
+                    if len(piece) > fade:   # hold the fade tail
+                        held = piece[-fade:].copy()
+                        yield piece[:-fade]
+                    else:
+                        held = piece
+                if held is not None:
+                    held = held.copy()
+                    n = min(fade, len(held))
+                    held[-n:] *= np.linspace(1.0, 0.95, n, dtype=np.float32)
+                    yield held
+            else:
+                wav = produced
+                if len(wav) > fade:  # 5 ms tail fade (ref :509-518)
+                    wav = wav.copy()
+                    wav[-fade:] *= np.linspace(1.0, 0.95, fade,
+                                               dtype=np.float32)
+                yield wav
+
+        if primer_silence_ms > 0:
+            yield pcm16_bytes(
+                np.zeros(int(S3GEN_SR * primer_silence_ms / 1000), np.float32))
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = ex.submit(produce, 0)
+            for idx in range(len(chunks)):
+                produced = fut.result()
+                if idx + 1 < len(chunks):     # prefetch the next chunk
+                    fut = ex.submit(produce, idx + 1)
+                buf = b""
+                for piece in chunk_pieces(idx, produced):
+                    buf += pcm16_bytes(piece)
+                    while len(buf) >= frame_len:
+                        yield buf[:frame_len]
+                        buf = buf[frame_len:]
+                if buf:                        # flush at chunk boundary
+                    yield buf
+        finally:
+            ex.shutdown(wait=False)
 
 
 

@@ -84,6 +84,17 @@ class ChatterboxTTS:
         self._s3gen_apply = jax.jit(
             lambda params, n, *a: self.s3gen.apply(params, *a, n_timesteps=n),
             static_argnums=(1,))
+        # split stages for token-level streaming vocode (vocode_stream):
+        # flow alone (S3Gen.flow_only) and HiFT alone on a mel segment
+        self._flow_apply = jax.jit(
+            lambda params, n, *a: self.s3gen.apply(
+                params, *a, n_timesteps=n, method=S3Gen.flow_only),
+            static_argnums=(1,))
+        self._hift_apply = jax.jit(
+            lambda params, mel, rngs, vf: self.s3gen.apply(
+                params, mel, rngs, vf,
+                method=lambda m, mel_, r_, vf_: m.mel2wav(
+                    mel_, r_, valid_frames=vf_)))
         self._cond_cache: dict = {}
 
     # ------------------------------------------------------------------
@@ -472,7 +483,8 @@ class ChatterboxTTS:
             exaggeration=0.5, max_tokens: int = 1000,
             diffusion_steps: int = 10, top_p=1.0,
             min_p=0.05, repetition_penalty=2.0,
-            cfg_scale=None, return_tokens: bool = False) -> List[np.ndarray]:
+            cfg_scale=None, return_tokens: bool = False,
+            vocode: bool = True) -> List[np.ndarray]:
         """``language_id`` / ``temperature`` / ``exaggeration`` / ``top_p`` /
         ``min_p`` / ``repetition_penalty`` / ``cfg_scale`` accept a scalar or
         a per-prompt list (reference mtl_tts.py:405-435 supports language_id
@@ -555,6 +567,9 @@ class ChatterboxTTS:
                 eng.tokens_guard_mult)
             token_lists.append(toks[:guard])
 
+        if not vocode:   # T3 only — caller vocodes (e.g. vocode_stream)
+            return token_lists
+
         wavs = self.vocode_batch(token_lists, conds_list,
                                  diffusion_steps=diffusion_steps)
         out = [postprocess_wav(w, len(t), self.cfg.post)
@@ -618,6 +633,86 @@ class ChatterboxTTS:
             for j, i in enumerate(group):
                 out[i] = wav[j, : wav_len[j]]
         return [out[i] for i in range(len(token_lists))]
+
+    def vocode_stream(self, tokens, cond, diffusion_steps: int = 10,
+                      seg_frames: int = 100, ctx_frames: int = 4):
+        """Streaming vocode for ONE request: run the CFM flow once
+        (S3Gen.flow_only), then vocode the generated mel in fixed-size
+        segments with HiFT, yielding wav pieces as they are ready.
+
+        First audio arrives after flow + ONE small HiFT call instead of
+        flow + HiFT over the whole utterance (the reference server vocodes
+        each text chunk synchronously, openai_tts_server.py:438-528).
+        Each segment gets ``ctx_frames`` of left context (conv receptive
+        field / NSF source warm-up) and joins the previous segment under a
+        20 ms crossfade that masks the source-phase restart.  Total sample
+        count equals the non-streamed vocode exactly (gen_frames * 480);
+        tail trims are the caller's job (the server fades chunk tails).
+        """
+        up = S3GEN_SR // 50                                   # 480
+        XF = up                                               # crossfade
+        n_mels = self.cfg.s3gen.n_mels
+        tokens = np.asarray(tokens, np.int32)
+        Tp = len(cond.prompt_token)
+        T = _bucket_len(Tp + len(tokens))
+        toks = np.zeros((1, T), np.int32)
+        toks[0, :Tp] = cond.prompt_token
+        toks[0, Tp: Tp + len(tokens)] = tokens
+        tlen = np.asarray([Tp + len(tokens)], np.int32)
+        Fp = _bucket_len(cond.prompt_feat.shape[0])
+        pfeat = np.zeros((1, Fp, n_mels), np.float32)
+        pfeat[0, : cond.prompt_feat.shape[0]] = cond.prompt_feat
+        pflen = np.asarray([cond.prompt_feat.shape[0]], np.int32)
+        emb = np.asarray(cond.embedding, np.float32)[None]
+        noise = jnp.broadcast_to(self._noise[:, : 2 * T], (1, 2 * T, n_mels))
+        mel, mel_len = self._flow_apply(
+            self.s3gen_params, diffusion_steps, jnp.asarray(toks),
+            jnp.asarray(tlen), jnp.asarray(pfeat), jnp.asarray(pflen),
+            jnp.asarray(emb), noise)
+        mel = np.asarray(mel, np.float32)[0]
+        n_gen = int(mel_len[0]) - int(pflen[0])
+        if n_gen <= 0:
+            return
+        gen = mel[int(pflen[0]): int(pflen[0]) + n_gen]
+
+        win = ctx_frames + seg_frames
+        rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(1))
+        held = None                      # previous segment's last XF samples
+        starts = list(range(0, n_gen, seg_frames))
+        for k, start in enumerate(starts):
+            lo = max(0, start - ctx_frames)
+            w = gen[lo: min(start + seg_frames, n_gen)]
+            buf = np.zeros((1, win, n_mels), np.float32)
+            buf[0, : len(w)] = w
+            wav, _src = self._hift_apply(
+                self.s3gen_params, jnp.asarray(buf), rngs,
+                jnp.asarray([len(w)], np.int32))
+            wav = np.asarray(wav, np.float32)[0]
+            off = (start - lo) * up
+            seg_wav = wav[off: len(w) * up].copy()
+            if k == 0:
+                # 20 ms fade-in, same shape as S3Gen.__call__
+                n_trim = up
+                t = np.arange(min(2 * n_trim, len(seg_wav)))
+                ramp = (np.cos(np.linspace(np.pi, 0.0, n_trim)) + 1.0) / 2.0
+                fade = np.where(t < n_trim, 0.0,
+                                ramp[np.clip(t - n_trim, 0, n_trim - 1)])
+                seg_wav[: len(t)] *= fade.astype(np.float32)
+                out = seg_wav
+            else:
+                pre = wav[max(0, off - XF): off]    # overlaps previous tail
+                n = min(len(held), len(pre))
+                r = np.linspace(0.0, 1.0, n, dtype=np.float32)
+                mixed = held[:n] * (1.0 - r) + pre[len(pre) - n:] * r
+                out = np.concatenate([held[: len(held) - n] if n < len(held)
+                                      else np.empty(0, np.float32),
+                                      mixed, seg_wav])
+            if k < len(starts) - 1 and len(out) > XF:
+                held = out[-XF:]
+                yield out[:-XF]
+            else:
+                held = None
+                yield out
 
     def shutdown(self):
         self.engine = None

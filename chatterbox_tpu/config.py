@@ -239,6 +239,11 @@ class EngineConfig:
     # when at least this many slots are free (0 -> scheduler default,
     # n_slots/4).  Smaller waves start requests sooner (TTFT, occupancy)
     # at the cost of more prefill dispatches.
+    admit_wave: int = 16            # max requests per admission wave (and
+    # the largest prefill m_bucket used during fill).  Wider waves fill
+    # B=64 slots in fewer prefill dispatches (TTFT at burst start) but
+    # grow the prefill block-KV transient (~[L, 2m, P, H, D]) and add one
+    # compile shape per text bucket (VERDICT r4 item 3: 24-wide wave).
     admit_interleave: bool = False  # admit at most one prefill wave per
     # decode chunk instead of draining the whole admission queue first —
     # the first wave's requests start decoding ~2 prefill waves sooner
@@ -363,6 +368,7 @@ def apply_env_overrides(cfg: ChatterboxConfig) -> ChatterboxConfig:
         pre_guard_margin=int(_env("CHATTERBOX_PRE_GUARD_MARGIN", eng.pre_guard_margin)),
         admit_interleave=_env_bool("CHATTERBOX_ADMIT_INTERLEAVE",
                                    eng.admit_interleave),
+        admit_wave=int(_env("CHATTERBOX_ADMIT_WAVE", eng.admit_wave)),
         rtt_adaptive=_env_bool("CHATTERBOX_RTT_ADAPTIVE", eng.rtt_adaptive),
         spec_decode=_env_bool("CHATTERBOX_SPEC_DECODE", eng.spec_decode),
         spec_draft_layers=int(_env("CHATTERBOX_SPEC_DRAFT_LAYERS",

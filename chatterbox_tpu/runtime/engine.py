@@ -1411,7 +1411,7 @@ class T3Engine:
                 # cap the admission wave: a full-B prefill materializes a
                 # [L, 2m, P, H, D] block-KV transient (~3.4 GB at m=48),
                 # OOMing next to the live cache
-                slots, uids = sched.admit(min(self.B, 16))
+                slots, uids = sched.admit(min(self.B, eng.admit_wave))
                 if not slots:
                     break
                 self._admit([requests[u] for u in uids], slots)
@@ -1537,7 +1537,7 @@ class T3Engine:
                 break
             t_ph = time.time()
             while True:
-                slots, uids = sched.admit(min(self.B, 16))
+                slots, uids = sched.admit(min(self.B, eng.admit_wave))
                 if not slots:
                     break
                 self._admit([requests[u] for u in uids], slots)
@@ -1586,8 +1586,11 @@ class T3Engine:
     def _admit(self, reqs: List[Request], slots: List[int]):
         eng = self.eng
         m = len(reqs)
-        # keep prefill compile shapes to a small set
-        mb_opts = (1, 4, 16, self.B) if self.B > 16 else (1, 4, self.B)
+        # keep prefill compile shapes to a small set (+ the configured
+        # admission-wave width so wide waves don't bucket up to full B)
+        wave = max(1, min(self.B, eng.admit_wave))
+        mb_opts = (tuple(sorted({1, 4, 16, wave, self.B}))
+                   if self.B > 16 else tuple(sorted({1, 4, wave, self.B})))
         m_bucket = next((b for b in mb_opts if b >= m), self.B)
         text_bucket = _bucket(max(len(r.text_ids) for r in reqs),
                               eng.prefill_buckets)

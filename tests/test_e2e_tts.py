@@ -40,7 +40,7 @@ def tts(tmp_path_factory):
         t3=t3,
         s3gen=S3GenConfig.tiny(),
         engine=EngineConfig(max_batch_size=2, max_model_len=128,
-                            decode_chunk=4, prefill_buckets=(32, 64),
+                            decode_chunk=4, prefill_buckets=(32, 96),
                             tokens_max=32, tokens_min=4, tokens_per_char=0.5),
     )
     from chatterbox_tpu.models.s3tokenizer.model import S3TokenizerConfig
@@ -76,3 +76,42 @@ def test_conditionals_from_wav(tts):
     assert conds.prompt_feat.shape[1] == tts.cfg.s3gen.n_mels
     assert conds.prompt_feat.shape[0] == 2 * len(conds.prompt_token)
     assert np.isfinite(conds.embedding).all()
+
+
+def test_vocode_stream_matches_total_length(tts):
+    """vocode_stream (flow_only + segmented HiFT, VERDICT r4 item 4) must
+    yield exactly gen_frames*480 samples, finite, deterministic — and the
+    first piece must arrive from a single small HiFT call."""
+    conds = tts.get_audio_conditionals(None)
+    tokens = np.arange(24) % tts.cfg.s3gen.speech_vocab_size
+    runs = []
+    for _ in range(2):
+        pieces = list(tts.vocode_stream(tokens, conds, diffusion_steps=2,
+                                        seg_frames=8, ctx_frames=2))
+        assert len(pieces) >= 2              # actually segmented
+        wav = np.concatenate(pieces)
+        assert np.isfinite(wav).all()
+        # flow upsamples tokens 2x to mel frames; 480 samples/frame
+        assert len(wav) == 2 * len(tokens) * 480
+        runs.append(wav)
+    np.testing.assert_array_equal(runs[0], runs[1])
+    # 20 ms fade-in: very first 480 samples are zeroed
+    assert np.abs(runs[0][:480]).max() == 0.0
+
+
+def test_stream_pcm_frames_segmented_vocode(tts):
+    """The server streaming path drives the segmented vocode end-to-end
+    with a real (tiny) session: frames concatenate to a coherent stream and
+    the tokens-only service path is exercised."""
+    from chatterbox_tpu.api.server import TTSService
+    service = TTSService(tts)
+    frames = list(service.stream_pcm_frames(
+        "hello there world. this is a second phrase to stream!",
+        first_chunk_chars=12, chunk_chars=30, seg_frames=8,
+        diffusion_steps=2, first_chunk_diff_steps=2))
+    assert frames
+    pcm = b"".join(frames)
+    assert len(pcm) > 0 and len(pcm) % 2 == 0
+    wav = np.frombuffer(pcm, np.int16)
+    assert np.isfinite(wav.astype(np.float32)).all()
+    assert np.abs(wav).max() > 0
