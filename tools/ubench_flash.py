@@ -26,22 +26,29 @@ def main():
     lens = jnp.full((B,), T, jnp.int32)
     jax.block_until_ready((q, k, v))
 
-    for bq, bk in ((1024, 1024), (512, 1024), (1024, 512), (512, 512),
-                   (256, 1024), (128, 1024)):
-        def run(q, k, v, lens, bq=bq, bk=bk):
-            acc = jnp.zeros((), jnp.float32)
+    # ragged lens variant exercises the conditional-mask path
+    lens_ragged = jnp.asarray(
+        np.random.default_rng(0).integers(700, T + 1, size=B), jnp.int32)
+    arms = [("v1", lens, 1024, 1024), ("v2", lens, 1024, 1024),
+            ("v1", lens, 512, 1024), ("v2", lens, 512, 1024),
+            ("v2-ragged", lens_ragged, 1024, 1024),
+            ("v1-ragged", lens_ragged, 1024, 1024)]
+    for name, ln, bq, bk in arms + arms[:2][::-1]:
+        impl = name.split("-")[0]
+        def run(q, k, v, ln, bq=bq, bk=bk, impl=impl):
             out = q
             for _ in range(ITERS):
-                out = flash_self_attention(out, k, v, lens, bq=bq, bk=bk)
+                out = flash_self_attention(out, k, v, ln, bq=bq, bk=bk,
+                                           impl=impl)
             return out
         f = jax.jit(run)
-        o = f(q, k, v, lens)
+        o = f(q, k, v, ln)
         np.asarray(o[0, 0, 0])
         t0 = time.time()
-        o = f(q, k, v, lens)
+        o = f(q, k, v, ln)
         np.asarray(o[0, 0, 0])
         dt = (time.time() - t0) / ITERS
-        print(f"bq={bq:5d} bk={bk:5d}: {dt * 1e3:7.3f} ms/call",
+        print(f"{name:10s} bq={bq:5d} bk={bk:5d}: {dt * 1e3:7.3f} ms/call",
               file=sys.stderr)
 
 
