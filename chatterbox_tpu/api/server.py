@@ -588,16 +588,25 @@ def make_handler(service: TTSService):
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
                     headers_sent = True
+                    stream_kw = {}
+                    # only forward knobs the request sets, so
+                    # stream_pcm_frames' defaults (e.g. the 5-step first
+                    # chunk) stay in charge otherwise
+                    if req.get("first_chunk_diff_steps") is not None:
+                        stream_kw["first_chunk_diff_steps"] = \
+                            int(req["first_chunk_diff_steps"])
+                    if req.get("stream_vocode") is not None:
+                        stream_kw["stream_vocode"] = \
+                            bool(req["stream_vocode"])
+                    if req.get("seg_frames") is not None:
+                        stream_kw["seg_frames"] = int(req["seg_frames"])
                     for frame in service.stream_pcm_frames(
                             text,
                             frame_ms=int(req.get("frame_ms", 20)),
                             first_chunk_chars=int(req.get("first_chunk_chars", 30)),
                             chunk_chars=int(req.get("chunk_chars", 120)),
                             primer_silence_ms=int(req.get("primer_silence_ms", 0)),
-                            first_chunk_diff_steps=(
-                                None if req.get("first_chunk_diff_steps") is None
-                                else int(req["first_chunk_diff_steps"])),
-                            **kw):
+                            **stream_kw, **kw):
                         self.wfile.write(f"{len(frame):x}\r\n".encode())
                         self.wfile.write(frame)
                         self.wfile.write(b"\r\n")
