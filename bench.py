@@ -254,7 +254,7 @@ def main():
     # compiling unused needs_top_p=False chunk variants instead
     wkw = dict(temperature=0.8, top_p=0.8)
     for L in (126, 180):
-        for n in (1, 4, 16):
+        for n in (1, 4, 16, 24):
             w = [Request(text_ids=np.full((L,), 1, np.int32),
                          cond_emb=reqs[i].cond_emb, max_new_tokens=8, uid=i,
                          **wkw)

@@ -239,11 +239,14 @@ class EngineConfig:
     # when at least this many slots are free (0 -> scheduler default,
     # n_slots/4).  Smaller waves start requests sooner (TTFT, occupancy)
     # at the cost of more prefill dispatches.
-    admit_wave: int = 16            # max requests per admission wave (and
+    admit_wave: int = 24            # max requests per admission wave (and
     # the largest prefill m_bucket used during fill).  Wider waves fill
-    # B=64 slots in fewer prefill dispatches (TTFT at burst start) but
-    # grow the prefill block-KV transient (~[L, 2m, P, H, D]) and add one
-    # compile shape per text bucket (VERDICT r4 item 3: 24-wide wave).
+    # B=64 slots in fewer prefill dispatches; clean A/B/B/A at 27 ms RTT
+    # (tools/ab_wave.py, parity workload): 24-wide 3489/3518 tok/s,
+    # p50 4.81/4.84 s, p95 11.70/11.84 s vs 16-wide 3332/3388 tok/s,
+    # p50 4.97/4.98, p95 12.11/12.32 — wins every axis (VERDICT r4 item
+    # 3).  Cost: a bigger prefill block-KV transient (~[L, 2m, P, H, D])
+    # and one compile shape per text bucket.
     admit_interleave: bool = False  # admit at most one prefill wave per
     # decode chunk instead of draining the whole admission queue first —
     # the first wave's requests start decoding ~2 prefill waves sooner
