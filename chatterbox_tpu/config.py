@@ -196,7 +196,12 @@ class EngineConfig:
     reference tts.py:130-140 + the CHATTERBOX_* sampling/trim env family)."""
     max_batch_size: int = 16
     max_model_len: int = 1000
-    decode_chunk: int = 8           # decode steps per jitted chunk (host sync cadence)
+    decode_chunk: int = 24          # decode steps per jitted chunk (host
+    # sync cadence).  24 measured best for serving latency: the on-chip
+    # streaming server's first-chunk T3 dropped 0.9 -> 0.65 s (TTFA 1.08
+    # -> 0.89 s) vs the old default 8 — fewer harvest RTTs per request;
+    # bench.py uses 32 for pure batched throughput.  Env override:
+    # CHATTERBOX_DECODE_CHUNK.
     chunks_per_dispatch: int = 1    # (decode chunk + merge) pairs enqueued
     # back-to-back per harvest sync; >1 pays the host<->device sync cost
     # once per k chunks (bitwise-identical tokens) at the price of
@@ -364,6 +369,9 @@ def apply_env_overrides(cfg: ChatterboxConfig) -> ChatterboxConfig:
         eng,
         cfg_scale=float(_env("CHATTERBOX_CFG_SCALE", eng.cfg_scale)),
         deterministic=_env_bool("CHATTERBOX_DETERMINISTIC", eng.deterministic),
+        max_batch_size=int(_env("CHATTERBOX_MAX_BATCH_SIZE",
+                                eng.max_batch_size)),
+        decode_chunk=int(_env("CHATTERBOX_DECODE_CHUNK", eng.decode_chunk)),
         tokens_per_char=float(_env("CHATTERBOX_TOKENS_PER_CHAR", eng.tokens_per_char)),
         tokens_min=int(_env("CHATTERBOX_TOKENS_MIN", eng.tokens_min)),
         tokens_max=int(_env("CHATTERBOX_TOKENS_MAX", eng.tokens_max)),
