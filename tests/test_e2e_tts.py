@@ -115,3 +115,20 @@ def test_stream_pcm_frames_segmented_vocode(tts):
     wav = np.frombuffer(pcm, np.int16)
     assert np.isfinite(wav.astype(np.float32)).all()
     assert np.abs(wav).max() > 0
+
+
+def test_vocode_stream_single_segment_equals_batch_vocode(tts):
+    """With one segment covering the whole utterance, vocode_stream's
+    split flow_only + HiFT pipeline must reproduce the fused
+    S3Gen.__call__ path exactly (same fixed noise, same per-request rng
+    row, same bucketing) — pinning the stage-split plumbing."""
+    conds = tts.get_audio_conditionals(None)
+    tokens = (np.arange(20) * 3) % tts.cfg.s3gen.speech_vocab_size
+    pieces = list(tts.vocode_stream(tokens, conds, diffusion_steps=2,
+                                    seg_frames=4096))
+    assert len(pieces) == 1
+    streamed = pieces[0]
+    full = tts.vocode_batch([tokens.astype(np.int32)], [conds],
+                            diffusion_steps=2, batch_bucket=1)[0]
+    assert len(streamed) == len(full)
+    np.testing.assert_allclose(streamed, full, atol=1e-4)
