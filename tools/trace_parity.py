@@ -36,7 +36,7 @@ def main():
     base_cfg = T3ModelConfig()
     cfg = dataclasses.replace(base_cfg, quant_weights=True)
     # bench.py's shipped configuration (compact_tail defaults on)
-    eng = EngineConfig(max_batch_size=48, max_model_len=1200,
+    eng = EngineConfig(max_batch_size=64, max_model_len=1200,
                        decode_chunk=32, kv_dtype="int8", admit_min_free=4)
     model = T3Model(cfg)
     params = jax.jit(lambda r: T3Model(base_cfg).init(
