@@ -411,6 +411,9 @@ class TTSService:
                         seg_frames=seg_frames):
                     piece = apply_watermark(np.asarray(piece, np.float32),
                                             S3GEN_SR)
+                    # tokens-only jobs skip the audio_s accounting in
+                    # _run_group; count the streamed audio here instead
+                    self.stats["audio_s"] += len(piece) / S3GEN_SR
                     if held is not None:
                         piece = np.concatenate([held, piece])
                     if len(piece) > fade:   # hold the fade tail
