@@ -669,7 +669,7 @@ class ChatterboxTTS:
             self.s3gen_params, diffusion_steps, jnp.asarray(toks),
             jnp.asarray(tlen), jnp.asarray(pfeat), jnp.asarray(pflen),
             jnp.asarray(emb), noise)
-        mel = np.asarray(mel, np.float32)[0]
+        mel = np.asarray(mel)[0]        # keep the flow's dtype (bf16 on TPU)
         n_gen = int(mel_len[0]) - int(pflen[0])
         if n_gen <= 0:
             return
@@ -682,7 +682,7 @@ class ChatterboxTTS:
         for k, start in enumerate(starts):
             lo = max(0, start - ctx_frames)
             w = gen[lo: min(start + seg_frames, n_gen)]
-            buf = np.zeros((1, win, n_mels), np.float32)
+            buf = np.zeros((1, win, n_mels), mel.dtype)
             buf[0, : len(w)] = w
             wav, _src = self._hift_apply(
                 self.s3gen_params, jnp.asarray(buf), rngs,
