@@ -191,7 +191,11 @@ def split_for_low_latency(text: str, first_chunk_chars: int = 30,
 def apply_watermark(wav: np.ndarray, sr: int) -> np.ndarray:
     """No-op watermark hook (parity: reference openai_tts_server.py:342-350
     keeps a disabled perth watermarker slot).  Plug a real watermarker here;
-    the server routes every synthesized wav through it."""
+    the server routes every synthesized wav through it.  CONTRACT NOTE: the
+    segmented streaming path invokes this per ~2 s vocode segment, so a real
+    implementation must be stateless per call (sample-level marking) or be
+    given a streaming-capable interface first — frame-stateful watermarkers
+    would restart at segment boundaries."""
     return wav
 
 
@@ -212,8 +216,11 @@ class _Job:
         kw = self.kw
         if kw.get("seed") is not None:
             return ("solo", id(self))
-        return (kw.get("voice_path"), kw.get("diffusion_steps", 10),
-                bool(kw.get("_tokens_only")))
+        if kw.get("_tokens_only"):
+            # T3-only jobs never touch the vocoder — diffusion_steps must
+            # not split otherwise-coalescable waves
+            return (kw.get("voice_path"), "tokens")
+        return (kw.get("voice_path"), kw.get("diffusion_steps", 10), False)
 
 
 class TTSService:
@@ -234,6 +241,8 @@ class TTSService:
         self.stats = {"requests": 0, "errors": 0, "audio_s": 0.0,
                       "synth_s": 0.0, "batches": 0, "batched_requests": 0,
                       "started_at": time.time()}
+        # streaming handlers mutate stats from their own threads
+        self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
         if warmup_text:
@@ -322,30 +331,34 @@ class TTSService:
             else:  # minimal tts object (tests / custom backends)
                 tokens_only = False
                 wavs = self.tts.generate([j.text for j in jobs])
-            self.stats["batches"] += 1
-            self.stats["batched_requests"] += len(jobs)
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["batched_requests"] += len(jobs)
             for j, w in zip(jobs, wavs):
                 if tokens_only:
                     j.wav = np.asarray(w)          # speech tokens, not audio
-                    self.stats["requests"] += 1
                 else:
                     j.wav = apply_watermark(np.asarray(w), sr)
+                with self._stats_lock:
                     self.stats["requests"] += 1
-                    self.stats["audio_s"] += len(j.wav) / sr
-                self.stats["synth_s"] += time.time() - j.t0
+                    if not tokens_only:
+                        self.stats["audio_s"] += len(j.wav) / sr
+                    self.stats["synth_s"] += time.time() - j.t0
                 j.done.set()
         except Exception as e:
             import sys
             import traceback
             print(f"[Server] synthesis batch failed: {e}", file=sys.stderr)
             traceback.print_exc()
-            self.stats["errors"] += len(jobs)
+            with self._stats_lock:
+                self.stats["errors"] += len(jobs)
             for j in jobs:
                 j.error = e
                 j.done.set()
 
     def metrics(self) -> dict:
-        s = dict(self.stats)
+        with self._stats_lock:
+            s = dict(self.stats)
         s["uptime_s"] = round(time.time() - s.pop("started_at"), 1)
         s["realtime_factor"] = round(
             s["audio_s"] / s["synth_s"], 2) if s["synth_s"] else None
@@ -400,32 +413,54 @@ class TTSService:
 
         def chunk_pieces(idx, produced):
             """Yield this chunk's audio as one or more float32 pieces with
-            the 5 ms tail fade applied to the chunk's final samples."""
+            the RMS tail trim + 5 ms tail fade applied to the chunk's
+            final samples (same post-processing the non-streamed path
+            gets from postprocess_wav; hard alignment is inherent — the
+            vocoder emits exactly gen_frames*480 samples)."""
             if can_seg:
+                from ..audio.postprocess import rms_tail_trim
                 ckw = chunk_kw(idx)
                 conds = self.tts.get_audio_conditionals(kw.get("voice_path"))
-                held = None
+                post = getattr(getattr(self.tts, "cfg", None), "post", None)
+                t_voc = time.time()
+                # hold back a tail window so the chunk-final RMS trim can
+                # run before those samples leave; track the peak frame RMS
+                # of emitted audio for the trim's relative threshold
+                hold_n = int(S3GEN_SR * 0.8)
+                win = max(1, int(S3GEN_SR * (post.rms_window_ms / 1000)
+                                 if post is not None else 0.05))
+                pending = np.empty(0, np.float32)
+                peak = 0.0
                 for piece in self.tts.vocode_stream(
                         produced, conds,
                         diffusion_steps=int(ckw.get("diffusion_steps", 10)),
                         seg_frames=seg_frames):
                     piece = apply_watermark(np.asarray(piece, np.float32),
                                             S3GEN_SR)
-                    # tokens-only jobs skip the audio_s accounting in
-                    # _run_group; count the streamed audio here instead
-                    self.stats["audio_s"] += len(piece) / S3GEN_SR
-                    if held is not None:
-                        piece = np.concatenate([held, piece])
-                    if len(piece) > fade:   # hold the fade tail
-                        held = piece[-fade:].copy()
-                        yield piece[:-fade]
-                    else:
-                        held = piece
-                if held is not None:
-                    held = held.copy()
-                    n = min(fade, len(held))
-                    held[-n:] *= np.linspace(1.0, 0.95, n, dtype=np.float32)
-                    yield held
+                    pending = np.concatenate([pending, piece])
+                    if len(pending) > hold_n:
+                        out, pending = pending[:-hold_n], pending[-hold_n:]
+                        nfr = len(out) // win
+                        if nfr:
+                            fr = out[: nfr * win].reshape(nfr, win)
+                            peak = max(peak, float(
+                                np.sqrt((fr ** 2).mean(axis=1)).max()))
+                        with self._stats_lock:
+                            self.stats["audio_s"] += len(out) / S3GEN_SR
+                        yield out
+                tail = pending
+                if post is not None:
+                    tail = rms_tail_trim(tail, post, peak=peak)
+                tail = tail.copy()
+                n = min(fade, len(tail))
+                if n:   # 5 ms tail fade (ref :509-518)
+                    tail[-n:] *= np.linspace(1.0, 0.95, n, dtype=np.float32)
+                with self._stats_lock:
+                    self.stats["audio_s"] += len(tail) / S3GEN_SR
+                    # tokens-only jobs record only T3 time in _run_group;
+                    # add the vocode wall so realtime_factor stays honest
+                    self.stats["synth_s"] += time.time() - t_voc
+                yield tail
             else:
                 wav = produced
                 if len(wav) > fade:  # 5 ms tail fade (ref :509-518)
@@ -626,6 +661,23 @@ def make_handler(service: TTSService):
                     self.wfile.write(body)
             except BrokenPipeError:
                 pass
+            except ValueError as e:
+                # client errors (unsupported language, prompt beyond the
+                # engine's capacity — the reference/vLLM rejects
+                # > max_model_len the same way) map to 400, not 500
+                if not headers_sent:
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    try:
+                        self.wfile.write(b"0\r\n\r\n")
+                    except Exception:
+                        pass
+                    self.close_connection = True
             except Exception as e:
                 import sys
                 import traceback

@@ -293,10 +293,12 @@ class ChatterboxTTS:
             tok = tok_cls.from_pretrained()
             if tok.vocab_size <= base.t3.text_vocab_size:
                 return tok
+            reason = (f"config text vocab ({base.t3.text_vocab_size}) too "
+                      f"small for the bundled real vocab ({tok.vocab_size})")
         except FileNotFoundError:
-            pass
-        print("[TTS] config text vocab too small for the bundled real "
-              "vocab — using a char-level fallback", file=sys.stderr)
+            reason = "bundled vocab assets not found"
+        print(f"[TTS] {reason} — using a char-level fallback",
+              file=sys.stderr)
         return tok_cls.char_fallback()
 
     @classmethod
@@ -651,6 +653,10 @@ class ChatterboxTTS:
         """
         up = S3GEN_SR // 50                                   # 480
         XF = up                                               # crossfade
+        # a 1-frame segment leaves nothing to yield after the held
+        # crossfade tail (held=None crash); 2 frames is the floor
+        seg_frames = max(2, int(seg_frames))
+        ctx_frames = max(1, int(ctx_frames))
         n_mels = self.cfg.s3gen.n_mels
         tokens = np.asarray(tokens, np.int32)
         Tp = len(cond.prompt_token)

@@ -22,10 +22,12 @@ def align_hard(wav: np.ndarray, n_tokens: int, cfg: PostProcessConfig,
 
 
 def rms_tail_trim(wav: np.ndarray, cfg: PostProcessConfig,
-                  sr: int = S3GEN_SR) -> np.ndarray:
+                  sr: int = S3GEN_SR, peak: float = 0.0) -> np.ndarray:
     """Energy-based tail trim (tts.py:510-541): windowed RMS, threshold
     relative to peak (or absolute fallback), cut after last active frame
-    plus a safety margin."""
+    plus a safety margin.  ``peak``: externally-tracked peak frame RMS to
+    combine with this window's own (the streaming path trims only a held
+    tail but must threshold relative to the WHOLE chunk's peak)."""
     if not cfg.tail_trim or wav.size == 0:
         return wav
     frame = max(1, int(sr * cfg.rms_window_ms / 1000))
@@ -35,15 +37,19 @@ def rms_tail_trim(wav: np.ndarray, cfg: PostProcessConfig,
     n = 1 + (len(wav) - frame) // hop
     idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
     rms = np.sqrt(np.mean(wav[idx] ** 2, axis=1))
-    peak = float(rms.max()) if rms.size else 0.0
-    if peak > 0:
-        thr = peak * (10.0 ** (cfg.tail_trim_db_rel / 20.0))
+    own_peak = float(rms.max()) if rms.size else 0.0
+    combined = max(own_peak, float(peak))
+    if combined > 0:
+        thr = combined * (10.0 ** (cfg.tail_trim_db_rel / 20.0))
     else:
         thr = 10.0 ** (cfg.tail_trim_db / 20.0)
     active = np.where(rms > thr)[0]
-    if active.size == 0:
-        return wav
     safety = int(sr * cfg.tail_trim_safety_ms / 1000)
+    if active.size == 0:
+        # window fully below threshold: with an externally-tracked peak
+        # (streaming held tail) the whole window IS the dead tail — keep
+        # only the safety margin; without one, preserve legacy behavior
+        return wav[:safety] if peak > 0 else wav
     cut = min(len(wav), (int(active[-1]) + 1) * hop + safety)
     return wav[:cut]
 

@@ -132,3 +132,16 @@ def test_vocode_stream_single_segment_equals_batch_vocode(tts):
                             diffusion_steps=2, batch_bucket=1)[0]
     assert len(streamed) == len(full)
     np.testing.assert_allclose(streamed, full, atol=1e-4)
+
+
+def test_vocode_stream_degenerate_seg_frames(tts):
+    """seg_frames <= 1 is clamped instead of crashing (code-review r5:
+    a request-supplied seg_frames=1 made segment 0 hold its entire output
+    and the next segment dereference a None crossfade tail)."""
+    conds = tts.get_audio_conditionals(None)
+    tokens = np.arange(10) % tts.cfg.s3gen.speech_vocab_size
+    for seg in (0, 1):
+        wav = np.concatenate(list(tts.vocode_stream(
+            tokens, conds, diffusion_steps=2, seg_frames=seg)))
+        assert len(wav) == 2 * len(tokens) * 480
+        assert np.isfinite(wav).all()

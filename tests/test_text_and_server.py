@@ -383,3 +383,35 @@ def test_streaming_midstream_error_terminates_cleanly():
         assert len(body) >= 4800  # at least the first chunk's audio arrived
     finally:
         httpd.shutdown()
+
+
+def test_client_value_errors_map_to_400():
+    """Engine-capacity rejections (overlong prompt) and other ValueErrors
+    surface as HTTP 400, not 500 (code-review r5 finding: the reference /
+    vLLM rejects > max_model_len as a client error)."""
+    from chatterbox_tpu.api.server import TTSService, make_handler
+    from http.server import ThreadingHTTPServer
+
+    class Overlong(FakeTTS):
+        def generate(self, prompts, **kw):
+            raise ValueError("413 text tokens exceeds the engine's prompt "
+                             "capacity of 256")
+
+    service = TTSService(Overlong())
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/audio/speech",
+            data=json.dumps({"input": "way too long"}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "capacity" in json.load(e)["error"]
+    finally:
+        httpd.shutdown()

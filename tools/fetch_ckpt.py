@@ -69,6 +69,8 @@ def fetch(variant: str, dest: Path, timeout: float) -> bool:
         try:
             p = hf_hub_download(repo, f, revision=rev,
                                 etag_timeout=timeout)
+            if os.path.lexists(dest / f):   # stale/dangling symlink
+                os.unlink(dest / f)
             os.symlink(p, dest / f)
             print(f"[fetch_ckpt] {f} -> {p}")
         except Exception as e:
