@@ -60,8 +60,15 @@ def test_tiny_harness_invariance():
     report = eq.evaluate(base, texts=eq.TEXTS[:2], diffusion_steps=2,
                          max_tokens=32)
     assert set(report["variants"]) == {"bf16", "w8", "w8a8", "w8_kv8",
-                                       "w8_kv4"}
+                                       "w8_kv4", "streamed_vocode"}
     ref = report["variants"]["bf16"]
     assert ref["speaker_cos"] == 1.0 and ref["token_wer"] == 0.0
     for v in report["variants"].values():
         assert np.isfinite(v["speaker_cos"])
+    # same tokens through the segmented vocode: identical duration, high
+    # speaker similarity even on random weights (the noise branch differs)
+    sv = report["variants"]["streamed_vocode"]
+    # streamed output is the raw gen_frames*480; the reference wav may have
+    # been tail-trimmed, so the ratio is >= 1 and close to it
+    assert 1.0 <= sv["duration_ratio"] < 1.2
+    assert sv["t3_token_agreement"] == 1.0

@@ -62,6 +62,10 @@ THRESHOLDS = {
     "w8_kv8": {"speaker_cos": 0.95, "token_wer": 0.15},
     "w8a8":   {"speaker_cos": 0.90, "token_wer": 0.25},
     "w8_kv4": {"speaker_cos": 0.90, "token_wer": 0.25},
+    # segmented streaming vocode (ChatterboxTTS.vocode_stream) vs the fused
+    # vocode on IDENTICAL bf16 tokens — only the NSF noise restart at
+    # segment boundaries + crossfades may differ, so the gate is tight
+    "streamed_vocode": {"speaker_cos": 0.95, "token_wer": 0.15},
 }
 
 
@@ -194,6 +198,21 @@ def evaluate(base_tts, texts=TEXTS, diffusion_steps: int = 5,
     ref_embs = [speaker_embed(base_tts, w) for w in ref_wavs]
     ref_s3 = [s3_tokens_of_wav(base_tts, w) for w in ref_wavs]
     ref_asr = asr_transcribe(ref_wavs)
+
+    # streamed-vocode leg: the SAME bf16 token streams through
+    # vocode_stream (flow once + segmented HiFT with crossfades) — bounds
+    # the perceptual cost of the streaming path the moment real
+    # checkpoints exist (the segment noise restart is the only delta)
+    stream_wavs = []
+    for t in ref_toks:
+        pieces = list(base_tts.vocode_stream(
+            np.asarray(t, np.int32), base_tts.default_conds,
+            diffusion_steps=diffusion_steps))
+        stream_wavs.append(np.concatenate(pieces) if pieces
+                           else np.zeros(1, np.float32))
+    outputs["streamed_vocode"] = (stream_wavs, ref_toks)
+    print(f"[eval] streamed_vocode: {[len(w) for w in stream_wavs]} samples",
+          file=sys.stderr)
 
     for name, (wavs, toks) in outputs.items():
         embs = [speaker_embed(base_tts, w) for w in wavs]
