@@ -262,6 +262,16 @@ class TTSService:
                 t0 = time.time()
                 self.synthesize(warmup_text)
                 print(f"[Server] warmup synthesis: {time.time() - t0:.1f}s")
+                # warm the STREAMING path too (flow_only + segmented-HiFT
+                # jits compile separately; the first streamed request
+                # otherwise pays 20-40 s of compiles mid-stream).  Repeat
+                # the text past one full-size chunk so both the small
+                # first-chunk and the 120-char follow-up shapes compile.
+                t0 = time.time()
+                reps = max(1, -(-150 // max(1, len(warmup_text))))
+                for _ in self.stream_pcm_frames(" ".join([warmup_text] * reps)):
+                    pass
+                print(f"[Server] warmup streaming: {time.time() - t0:.1f}s")
             except Exception as e:  # warmup failure tolerated (ref :602-603)
                 print(f"[Server] warmup failed: {e}")
 
