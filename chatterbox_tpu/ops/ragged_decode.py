@@ -46,17 +46,26 @@ from jax.experimental.pallas import tpu as pltpu
 LANE_BLOCK = 2   # CFG pair
 
 
-def _repeat_minor(x, d, interpret):
-    """[..., H] -> [..., H*d] with each column repeated d times (so column
-    h*d + i carries x[..., h])."""
-    if interpret:
-        return jnp.repeat(x, d, axis=-1)
-    return pltpu.repeat(x, d, axis=x.ndim - 1)
+def _expand_heads(x, H, D, dtype):
+    """[..., H] -> [..., H*D] where column h*D + d carries x[..., h].
+
+    Implemented as a one-hot [H, H*D] matmul: ``pltpu.repeat`` is a TILE
+    repeat ([x0..xH, x0..xH, ...]) in compiled Mosaic — NOT the
+    element repeat this mapping needs (measured on-chip; the first kernel
+    version silently produced wrong compiled output while interpret mode,
+    which used jnp.repeat, was correct).  The tiny MXU matmul is exact
+    (0/1 weights) and identical in both modes."""
+    hh = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 1)
+    eye_exp = (cc // D == hh).astype(dtype)
+    return jax.lax.dot_general(
+        x.astype(dtype), eye_exp, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _kernel(len_ref, qbd_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
             o_ref, m_ref, l_ref, o_acc, m_acc, l_acc, *, block_s: int,
-            n_heads: int, head_dim: int, interpret: bool):
+            n_heads: int, head_dim: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ns = pl.num_programs(1)
@@ -90,12 +99,11 @@ def _kernel(len_ref, qbd_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
         l_acc[:] = l_acc[:] * alpha + jnp.sum(e, axis=1, keepdims=True)
 
         ev = e * vs_ref[:].astype(jnp.float32)           # [2, block_s, H]
-        ev_rep = _repeat_minor(ev.astype(jnp.bfloat16), D, interpret)
+        ev_rep = _expand_heads(ev, H, D, jnp.bfloat16)   # [2, block_s, H*D]
         contrib = jnp.sum(
-            ev_rep.astype(jnp.float32)
-            * v_ref[:].astype(jnp.float32),
+            ev_rep * v_ref[:].astype(jnp.float32),
             axis=1, keepdims=True)                       # [2, 1, H*D]
-        alpha_rep = _repeat_minor(alpha, D, interpret)
+        alpha_rep = _expand_heads(alpha, H, D, jnp.float32)
         o_acc[:] = o_acc[:] * alpha_rep + contrib
 
     @pl.when(j == ns - 1)
@@ -164,7 +172,7 @@ def ragged_decode_attention(lengths, qbd, q_scale, kp, vp, ks, vs,
         ],
     )
     kernel = functools.partial(_kernel, block_s=block_s, n_heads=H,
-                               head_dim=D, interpret=interpret)
+                               head_dim=D)
     o, m, l = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -109,6 +109,21 @@ def main():
             return o / jnp.maximum(l, 1e-30)[..., None]
         return body
 
+    # compiled-mode numeric check (the CPU tests run interpret mode; this
+    # verifies the Mosaic lowering itself): one layer, ragged lengths
+    if "--check" in sys.argv:
+        from chatterbox_tpu.ops.ragged_decode import LANE_BLOCK
+        o, m, l_ = ragged_decode_attention(
+            lens_ragged, qbd[0], qs[0], kp[0], vp[0], ks[0], vs[0],
+            block_s=BLOCK_S)
+        o_pl = np.asarray(o / np.maximum(np.asarray(l_), 1e-30)[..., None])
+        o_ref = np.asarray(xla_body(lens_ragged)(
+            kp[0], vp[0], ks[0], vs[0], qbd[0], qs[0]))
+        err = np.abs(o_pl - o_ref).max() / (np.abs(o_ref).max() + 1e-9)
+        print(f"compiled-mode check: max rel err {err:.2e} "
+              f"({'OK' if err < 2e-2 else 'FAIL'})", file=sys.stderr)
+        assert err < 2e-2, err
+
     args = (kp, vp, ks, vs, qbd, qs)
     r = {}
     r["xla_dense"] = timeit("xla_dense",
