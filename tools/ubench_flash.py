@@ -29,6 +29,26 @@ def main():
     # ragged lens variant exercises the conditional-mask path
     lens_ragged = jnp.asarray(
         np.random.default_rng(0).integers(700, T + 1, size=B), jnp.int32)
+
+    # --check: compiled-mode numerics vs an f32 reference (the CPU test
+    # runs interpret mode; after the pltpu.repeat tile-vs-element surprise
+    # in ragged_decode, every production Pallas kernel gets an on-chip
+    # numeric check)
+    if "--check" in sys.argv:
+        for ln, tag in ((lens, "dense"), (lens_ragged, "ragged")):
+            for impl in ("v1", "v2"):
+                out = flash_self_attention(q, k, v, ln, impl=impl)
+                s = jnp.einsum("bhtd,bhsd->bhts", q.astype(jnp.float32),
+                               k.astype(jnp.float32)) / np.sqrt(D)
+                mask = (jnp.arange(T)[None, :] < ln[:, None])[:, None, None]
+                p = jax.nn.softmax(jnp.where(mask, s, -1e30), axis=-1)
+                ref = jnp.einsum("bhts,bhsd->bhtd", p, v.astype(jnp.float32))
+                err = float(jnp.abs(out.astype(jnp.float32) - ref).max()
+                            / (jnp.abs(ref).max() + 1e-9))
+                ok = err < 2e-2
+                print(f"check {impl} {tag}: rel err {err:.2e} "
+                      f"({'OK' if ok else 'FAIL'})", file=sys.stderr)
+                assert ok, (impl, tag, err)
     arms = [("v1", lens, 1024, 1024), ("v2", lens, 1024, 1024),
             ("v1", lens, 512, 1024), ("v2", lens, 512, 1024),
             ("v2-ragged", lens_ragged, 1024, 1024),
