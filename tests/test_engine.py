@@ -536,3 +536,55 @@ def test_compact_tail_double_halving(setup):
     ref = e2.generate(reqs)
     for a, b in zip(ref, results):
         np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_native_scheduler_cpp_matches_python_fallback(monkeypatch):
+    """The C++ scheduler (native/scheduler.cc via ctypes) and the Python
+    fallback must be step-for-step identical on a randomized workload:
+    admit waves (slots AND uids), counts, pos_caps, harvest results."""
+    import chatterbox_tpu.runtime.native as nat
+    from chatterbox_tpu.runtime.native import NativeScheduler
+
+    assert nat._load_lib() is not None, "C++ scheduler should build here"
+
+    def build(py: bool, order):
+        if py:
+            monkeypatch.setattr(nat, "_lib", None)
+            monkeypatch.setattr(nat, "_lib_tried", True)
+        else:
+            monkeypatch.setattr(nat, "_lib_tried", False)
+        return NativeScheduler(8, 256, order=order, min_free=2)
+
+    for order in ("shortest", "lpt"):
+        rs = np.random.default_rng(3)
+        reqs = [(i, int(rs.integers(5, 60)), int(rs.integers(4, 80)))
+                for i in range(40)]
+        cpp = build(False, order)
+        py = build(True, order)
+        for uid, pl, mx in reqs[:20]:
+            cpp.add_request(uid, pl, mx)
+            py.add_request(uid, pl, mx)
+        next_req = 20
+        for step in range(60):
+            a_c = cpp.admit(6)
+            a_p = py.admit(6)
+            assert a_c == a_p, (order, step, a_c, a_p)
+            assert cpp.pending_count() == py.pending_count()
+            assert cpp.active_count() == py.active_count()
+            assert cpp.free_count() == py.free_count()
+            up_c = cpp.advance(8)
+            up_p = py.advance(8)
+            assert up_c == up_p, (order, step)
+            np.testing.assert_array_equal(cpp.pos_caps(), py.pos_caps())
+            # randomly finish some active slots
+            done = (rs.random(8) < 0.3).astype(np.uint8)
+            h_c = cpp.harvest(done)
+            h_p = py.harvest(done)
+            assert h_c == h_p, (order, step, h_c, h_p)
+            # trickle in more requests mid-run
+            if next_req < len(reqs) and step % 3 == 0:
+                uid, pl, mx = reqs[next_req]
+                next_req += 1
+                cpp.add_request(uid, pl, mx)
+                py.add_request(uid, pl, mx)
+        assert cpp.pending_count() == py.pending_count()
