@@ -210,6 +210,17 @@ def _dense(cfg, features, name, dtype):
                     param_dtype=jnp.float32)
 
 
+def _quant_q_rows(q1):
+    """Per-(lane, head) int8 row quantization of q [B, H, D] for the
+    int8 x int8 QK MXU dot (shared by the packed decode paths — keep the
+    epsilon/rounding in ONE place; the ragged A/B test depends on both
+    paths staying numerically identical)."""
+    qf = q1.astype(jnp.float32)
+    qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) + 1e-9
+    q8 = jnp.clip(jnp.round(qf / qa * 127.0), -127, 127).astype(jnp.int8)
+    return q8, qa
+
+
 class Attention(nn.Module):
     cfg: T3ModelConfig
 
@@ -433,10 +444,7 @@ class Attention(nn.Module):
 
         if fk_scale is not None:
             # int8 x int8 QK on the MXU (see the head-major path note)
-            qf = q1.astype(jnp.float32)
-            qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) + 1e-9
-            q8 = jnp.clip(jnp.round(qf / qa * 127.0), -127,
-                          127).astype(jnp.int8)
+            q8, qa = _quant_q_rows(q1)
             qbd = (q8[:, :, None, :]
                    * onehot.astype(jnp.int8)[None, :, :, None]
                    ).reshape(B, Hq, Hkv * d)
@@ -518,9 +526,7 @@ class Attention(nn.Module):
         S = fkp.shape[1]
         C = ring_k.shape[2]
 
-        qf = q1.astype(jnp.float32)
-        qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) + 1e-9
-        q8 = jnp.clip(jnp.round(qf / qa * 127.0), -127, 127).astype(jnp.int8)
+        q8, qa = _quant_q_rows(q1)
         eye8 = jnp.eye(Hq, dtype=jnp.int8)
         qbd = (q8[:, :, None, :] * eye8[None, :, :, None]
                ).reshape(B, Hq, Hq * d)
@@ -532,7 +538,10 @@ class Attention(nn.Module):
             fk_scale, fv_scale, block_s=block_s,
             interpret=jax.default_backend() == "cpu")
 
-        # ---- ring segment (same math as _decode_packed) ----
+        # ---- ring segment (KEEP IN SYNC with _decode_packed's ring
+        # math: the numbers must match for the ragged A/B equality; the
+        # fused path keeps its joint-softmax form because splitting it
+        # into stats perturbs the measured-optimal XLA fusion graph) ----
         rk = self._repeat_kv(ring_k)
         rv = self._repeat_kv(ring_v)
         ring_quant = rks is not None

@@ -70,7 +70,12 @@ def _kernel(len_ref, qbd_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
     j = pl.program_id(1)
     ns = pl.num_programs(1)
     H, D = n_heads, head_dim
-    lane_len = len_ref[i * LANE_BLOCK]      # pairs share the request length
+    # per-lane lengths: masking is exact for ARBITRARY lanes; the DMA skip
+    # (index maps below) uses the pair max, so CFG pairs sharing a length
+    # skip with zero granularity loss and unpaired lanes stay correct
+    l0 = len_ref[i * LANE_BLOCK]
+    l1 = len_ref[i * LANE_BLOCK + 1]
+    lane_len = jax.lax.max(l0, l1)
 
     @pl.when(j == 0)
     def _init():
@@ -89,7 +94,10 @@ def _kernel(len_ref, qbd_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref,
              * ks_ref[:].astype(jnp.float32))
         pos = j * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (LANE_BLOCK, block_s, H), 1)
-        s = jnp.where(pos < lane_len, s, -1e30)
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (LANE_BLOCK, block_s, H), 0)
+        lens_b = jnp.where(lane == 0, l0, l1)
+        s = jnp.where(pos < lens_b, s, -1e30)
 
         m_old = m_acc[:]                       # [2, 1, H]
         m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
@@ -119,7 +127,10 @@ def ragged_decode_attention(lengths, qbd, q_scale, kp, vp, ks, vs,
     """Frozen-segment attention stats with per-lane length skipping.
 
     Args:
-      lengths: [B2] int32 — per-lane frozen length (CFG pairs must match).
+      lengths: [B2] int32 — per-lane frozen length.  Masking is exact for
+        arbitrary per-lane values; lanes are PROCESSED in adjacent pairs,
+        so the DMA skip only engages past the pair's max (CFG cond/uncond
+        pairs share a length and lose nothing).
       qbd:     [B2, H, H*D] int8 block-diagonal quantized q rows.
       q_scale: [B2, H] f32 — per-(lane, head) ``qa / (127 * sqrt(D))``.
       kp, vp:  [B2, S, H*D] int8 packed-heads frozen cache (S % block_s == 0).
@@ -142,8 +153,9 @@ def ragged_decode_attention(lengths, qbd, q_scale, kp, vp, ks, vs,
     qs3 = q_scale[:, None, :]          # [B2, 1, H]
 
     def kv_map(i, j, len_ref):
-        last = jax.lax.max(
-            (jax.lax.max(len_ref[i * LANE_BLOCK], 1) - 1) // block_s, 0)
+        pair_len = jax.lax.max(len_ref[i * LANE_BLOCK],
+                               len_ref[i * LANE_BLOCK + 1])
+        last = jax.lax.max((jax.lax.max(pair_len, 1) - 1) // block_s, 0)
         return i, jax.lax.min(j, last), 0
 
     def lane_map3(i, j, len_ref):

@@ -1365,9 +1365,17 @@ class T3Engine:
         eng = self.eng
         # reject overlong prompts up front (the reference/vLLM rejects
         # > max_model_len; silently cropping at the largest prefill bucket
-        # would eat tokens mid-sentence).  App layers chunk long text first
-        # (audio.text.split_text_by_sentence / the server's splitter).
-        text_cap = min(eng.prefill_buckets[-1],
+        # would eat tokens mid-sentence).  Callers must pre-split long
+        # text (audio.text.split_text_by_sentence; the streaming server
+        # does this itself) — the library API intentionally raises like
+        # vLLM rather than splitting behind the caller's back.
+        # The cap is the largest length whose PREFILL BUCKET still fits in
+        # the allocation: _admit rounds text up to a bucket and inserts a
+        # cond_len + bucket + 1 block, so a raw `S - cond - 2` cap admits
+        # prompts whose bucket overflows the cache (shape error mid-jit).
+        fit = [b for b in eng.prefill_buckets
+               if self.cfg.cond_len + b + 1 <= self.S]
+        text_cap = min(fit[-1] if fit else 0,
                        self.S - self.cfg.cond_len - 2)
         for i, r in enumerate(requests):
             if len(r.text_ids) > text_cap:
@@ -1411,7 +1419,7 @@ class T3Engine:
                 # cap the admission wave: a full-B prefill materializes a
                 # [L, 2m, P, H, D] block-KV transient (~3.4 GB at m=48),
                 # OOMing next to the live cache
-                slots, uids = sched.admit(min(self.B, eng.admit_wave))
+                slots, uids = sched.admit(max(1, min(self.B, eng.admit_wave)))
                 if not slots:
                     break
                 self._admit([requests[u] for u in uids], slots)
@@ -1537,7 +1545,7 @@ class T3Engine:
                 break
             t_ph = time.time()
             while True:
-                slots, uids = sched.admit(min(self.B, eng.admit_wave))
+                slots, uids = sched.admit(max(1, min(self.B, eng.admit_wave)))
                 if not slots:
                     break
                 self._admit([requests[u] for u in uids], slots)

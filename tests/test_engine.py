@@ -588,3 +588,21 @@ def test_native_scheduler_cpp_matches_python_fallback(monkeypatch):
                 cpp.add_request(uid, pl, mx)
                 py.add_request(uid, pl, mx)
         assert cpp.pending_count() == py.pending_count()
+
+
+def test_overlong_prompt_cap_respects_bucket_rounding(setup):
+    """The prompt cap must be the largest length whose PREFILL BUCKET fits
+    the allocation (code-review r5): with max_model_len=20 and buckets
+    (8, 16), a 10-token prompt buckets to 16 -> block 6+16+1=23 > 20 and
+    used to crash inside the prefill jit; it must be rejected up front."""
+    cfg, model, params, _ = setup
+    eng = EngineConfig(max_batch_size=2, max_model_len=20, decode_chunk=4,
+                       prefill_buckets=(8, 16), tokens_max=4,
+                       kv_dtype="float32")
+    engine = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(3))
+    bad = mk_req(cfg, jax.random.PRNGKey(4), n_text=10, max_new=2)
+    with pytest.raises(ValueError, match="exceeds the engine's prompt"):
+        engine.generate([bad])
+    ok = mk_req(cfg, jax.random.PRNGKey(4), n_text=8, max_new=2)
+    res = engine.generate([ok])
+    assert len(res) == 1 and len(res[0].tokens) >= 1

@@ -198,8 +198,10 @@ def test_ragged_decode_matches_reference_math():
                             1.5).astype(jnp.bfloat16)
     q8 = jax.random.randint(keys[4], (B2, H, D), -127, 128, jnp.int8)
     qs = jax.random.uniform(keys[5], (B2, H), jnp.float32, 0.001, 0.01)
-    lengths = jnp.asarray(np.repeat(np.array([5, 37, 96, 192]), 2)
-                          .astype(np.int32))
+    # deliberately UNPAIRED per-lane lengths: masking must be exact for
+    # arbitrary lanes (the CFG pair structure only affects DMA skipping)
+    lengths = jnp.asarray(np.array([5, 37, 96, 192, 10, 150, 192, 64],
+                                   np.int32))
     eye = jnp.eye(H, dtype=jnp.int8)
     qbd = (q8[:, :, None, :] * eye[None, :, :, None]).reshape(B2, H, HD)
 
