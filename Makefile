@@ -21,8 +21,9 @@ test:
 		tests/test_multilingual.py tests/test_cangjie.py \
 		tests/test_real_vocab.py tests/test_text_and_server.py
 	$(PYTEST) tests/test_from_pretrained.py tests/test_real_checkpoint.py \
-		tests/test_eval_quality.py tests/test_cluster.py \
-		tests/test_sharded_engine.py tests/test_multihost.py
+		tests/test_eval_quality.py
+	$(PYTEST) tests/test_cluster.py tests/test_sharded_engine.py \
+		tests/test_multihost.py
 
 test-fast:
 	$(PYTEST) -x -k "not s3gen and not estimator and not parity" tests/
