@@ -262,6 +262,19 @@ class TTSService:
                 t0 = time.time()
                 self.synthesize(warmup_text)
                 print(f"[Server] warmup synthesis: {time.time() - t0:.1f}s")
+                # warm the COALESCED shapes concurrent clients hit: a
+                # 4-wide wave compiles the m<=4 prefill bucket and the
+                # 4-batch vocode (measured: 3 concurrent cold streams paid
+                # ~75 s of in-run compiles without this)
+                if hasattr(self.tts, "generate_with_conds") and \
+                        hasattr(self.tts, "get_audio_conditionals"):
+                    t0 = time.time()
+                    conds = self.tts.get_audio_conditionals(None)
+                    self.tts.generate_with_conds(
+                        [warmup_text] * 4, conds, vocode=False)
+                    self.tts.generate_with_conds([warmup_text] * 4, conds)
+                    print(f"[Server] warmup coalesced wave: "
+                          f"{time.time() - t0:.1f}s")
                 # warm the STREAMING path too (flow_only + segmented-HiFT
                 # jits compile separately; the first streamed request
                 # otherwise pays 20-40 s of compiles mid-stream).  Repeat
