@@ -606,3 +606,21 @@ def test_overlong_prompt_cap_respects_bucket_rounding(setup):
     ok = mk_req(cfg, jax.random.PRNGKey(4), n_text=8, max_new=2)
     res = engine.generate([ok])
     assert len(res) == 1 and len(res[0].tokens) >= 1
+
+
+def test_batched_greedy_equals_individual(setup):
+    """Lanes are independent: greedy tokens from one batched generate must
+    be identical to running each request alone (canary for cross-lane
+    contamination in admission/decode/harvest/compaction)."""
+    cfg, model, params, eng = setup
+    rngs = jax.random.split(jax.random.PRNGKey(21), 5)
+    reqs = [mk_req(cfg, rngs[i], n_text=3 + i, max_new=5 + i,
+                   temperature=0.0, uid=i) for i in range(5)]
+    engine = T3Engine(model, params, cfg, eng, rng=jax.random.PRNGKey(0))
+    batched = engine.generate(reqs)
+    for i, r in enumerate(reqs):
+        solo_engine = T3Engine(model, params, cfg, eng,
+                               rng=jax.random.PRNGKey(0))
+        solo = solo_engine.generate([r])[0]
+        np.testing.assert_array_equal(batched[i].tokens, solo.tokens,
+                                      err_msg=f"request {i}")
